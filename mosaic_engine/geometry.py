@@ -1,0 +1,174 @@
+"""Planar polygon geometry — pure numpy, no Spark imports.
+
+Columnar reimplementation of the shapely `prepared.prep(poly).intersects`
+semantics the reference uses to refine bbox tile covers
+([ref: landsat_cogeo_mosaic/mosaic.py#features_to_mosaicJSON] — see
+SURVEY.md §2.3 G5/G8). Boundary touch counts as intersecting, matching
+shapely's `intersects` predicate.
+
+Rings are flat coordinate arrays (closed: first point == last point).
+Batches of variable-length rings are padded into dense (n, maxlen)
+matrices — padded vertices repeat the last real point, producing
+zero-length edges that every predicate below treats as inert, so all
+tests vectorize across an entire Arrow batch with no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EARTH_RADIUS_M = 6371008.8  # mean earth radius (IUGG)
+
+__all__ = [
+    "pad_rings",
+    "points_in_polys",
+    "polys_intersect_boxes",
+    "haversine_m",
+    "ring_bbox",
+]
+
+
+def pad_rings(xs_list, ys_list):
+    """List of closed rings → (RX, RY, nvert) dense float64 matrices.
+
+    RX/RY have shape (n, maxlen); rows shorter than maxlen are padded by
+    repeating their last vertex. nvert[i] is the real (closed) length.
+    """
+    n = len(xs_list)
+    lens = np.fromiter((len(x) for x in xs_list), dtype=np.int64, count=n)
+    maxlen = int(lens.max()) if n else 0
+    RX = np.empty((n, maxlen), dtype=np.float64)
+    RY = np.empty((n, maxlen), dtype=np.float64)
+    for i in range(n):  # batch-level loop over rows only to pack arrays;
+        li = lens[i]  # all geometry predicates below are fully vectorized
+        RX[i, :li] = xs_list[i]
+        RY[i, :li] = ys_list[i]
+        if li < maxlen:
+            RX[i, li:] = RX[i, li - 1]
+            RY[i, li:] = RY[i, li - 1]
+    return RX, RY, lens
+
+
+def ring_bbox(RX, RY, nvert):
+    """Per-ring (min_x, min_y, max_x, max_y), ignoring pad vertices.
+
+    Padding repeats a real vertex, so plain min/max over the row is exact.
+    """
+    return RX.min(axis=1), RY.min(axis=1), RX.max(axis=1), RY.max(axis=1)
+
+
+def _edges(RX, RY):
+    """Edge endpoint matrices (x1, y1, x2, y2), shape (n, maxlen-1)."""
+    return RX[:, :-1], RY[:, :-1], RX[:, 1:], RY[:, 1:]
+
+
+def points_in_polys(px, py, RX, RY, eps: float = 1e-12):
+    """Even-odd point-in-polygon with inclusive boundary.
+
+    px/py shape (n,) paired row-wise with rings RX/RY shape (n, maxlen).
+    Returns bool (n,). A point on a ring edge or vertex counts as inside
+    (matches shapely `intersects`, not `contains`).
+    """
+    px = np.asarray(px, dtype=np.float64)[:, None]
+    py = np.asarray(py, dtype=np.float64)[:, None]
+    x1, y1, x2, y2 = _edges(RX, RY)
+    # crossing-number parity; zero-length pad edges have y1==y2 → no cross
+    cond = (y1 > py) != (y2 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+    crosses = cond & (px < xint)
+    inside = (crosses.sum(axis=1) & 1).astype(bool)
+    # inclusive boundary: point collinear with an edge and within its bbox
+    cross_prod = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+    span = np.maximum(np.abs(x2 - x1), np.abs(y2 - y1))
+    on_line = np.abs(cross_prod) <= eps * np.maximum(span, 1.0)
+    in_seg = (
+        (px >= np.minimum(x1, x2) - eps)
+        & (px <= np.maximum(x1, x2) + eps)
+        & (py >= np.minimum(y1, y2) - eps)
+        & (py <= np.maximum(y1, y2) + eps)
+    )
+    nonzero = span > 0
+    on_boundary = (on_line & in_seg & nonzero).any(axis=1)
+    return inside | on_boundary
+
+
+def _segments_overlap_boxes(x1, y1, x2, y2, bw, bs, be, bn):
+    """Liang–Barsky: does each segment touch its axis-aligned box?
+
+    All args broadcastable to (n, m) (m = edges per ring); boxes are
+    (n, 1). Inclusive: a touch at the boundary counts. Zero-length pad
+    segments only count if the (repeated) point lies inside the box —
+    harmless, since that point is a real ring vertex.
+    """
+    dx = x2 - x1
+    dy = y2 - y1
+    p = np.stack([-dx, dx, -dy, dy])  # (4, n, m)
+    q = np.stack([x1 - bw, be - x1, y1 - bs, bn - y1])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r = q / p
+    t0 = np.zeros_like(x1)
+    t1 = np.ones_like(x1)
+    reject = np.zeros(x1.shape, dtype=bool)
+    for k in range(4):
+        pk, qk, rk = p[k], q[k], r[k]
+        reject |= (pk == 0) & (qk < 0)
+        t0 = np.where(pk < 0, np.maximum(t0, rk), t0)
+        t1 = np.where(pk < 0, t1, np.where(pk > 0, np.minimum(t1, rk), t1))
+    return ~reject & (t0 <= t1)
+
+
+def polys_intersect_boxes(RX, RY, nvert, idx, bw, bs, be, bn):
+    """Exact polygon ∩ axis-aligned-box test, batched over candidates.
+
+    RX/RY/nvert: padded ring matrices for `npoly` polygons.
+    idx: (m,) int — candidate i tests polygon idx[i] against box i.
+    bw/bs/be/bn: (m,) box bounds.
+    Returns bool (m,). Complete for simple polygons: a polygon and a box
+    intersect iff (a) some ring vertex is in the box, or (b) some box
+    corner is in the polygon, or (c) some ring edge crosses the box.
+    Boundary touches count (shapely `intersects` semantics).
+    """
+    idx = np.asarray(idx, dtype=np.int64)
+    bw = np.asarray(bw, dtype=np.float64)[:, None]
+    bs = np.asarray(bs, dtype=np.float64)[:, None]
+    be = np.asarray(be, dtype=np.float64)[:, None]
+    bn = np.asarray(bn, dtype=np.float64)[:, None]
+    gRX = RX[idx]  # (m, maxlen)
+    gRY = RY[idx]
+
+    # (a) ring vertex in box (inclusive); pad vertices repeat real ones
+    vin = ((gRX >= bw) & (gRX <= be) & (gRY >= bs) & (gRY <= bn)).any(axis=1)
+
+    # (b) any box corner inside polygon
+    cin = np.zeros(idx.shape[0], dtype=bool)
+    for cx, cy in ((bw, bs), (bw, bn), (be, bs), (be, bn)):
+        todo = ~(vin | cin)
+        if not todo.any():
+            break
+        cin[todo] = points_in_polys(
+            cx[todo, 0], cy[todo, 0], gRX[todo], gRY[todo]
+        )
+
+    # (c) ring edge crosses box
+    need = ~(vin | cin)
+    ein = np.zeros(idx.shape[0], dtype=bool)
+    if need.any():
+        x1, y1, x2, y2 = _edges(gRX[need], gRY[need])
+        hit = _segments_overlap_boxes(
+            x1, y1, x2, y2, bw[need], bs[need], be[need], bn[need]
+        )
+        ein[need] = hit.any(axis=1)
+    return vin | cin | ein
+
+
+def haversine_m(lon1, lat1, lon2, lat2):
+    """Great-circle distance in meters, float64 haversine."""
+    lon1 = np.radians(np.asarray(lon1, dtype=np.float64))
+    lat1 = np.radians(np.asarray(lat1, dtype=np.float64))
+    lon2 = np.radians(np.asarray(lon2, dtype=np.float64))
+    lat2 = np.radians(np.asarray(lat2, dtype=np.float64))
+    dlat = lat2 - lat1
+    dlon = lon2 - lon1
+    a = np.sin(dlat / 2.0) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2.0) ** 2
+    return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.minimum(a, 1.0)))
