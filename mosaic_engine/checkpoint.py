@@ -1,0 +1,150 @@
+"""Checkpoint / resume / lineage for the mosaic build (north rule).
+
+Partition unit = quadkey prefix (first PREFIX_LEN quadkey digits — a
+spatial range, ≤ 4^PREFIX_LEN groups). The assignments table is written
+``partitionBy('qk_prefix')`` with one manifest JSON per prefix recording
+lineage: input-file snapshot hash, config hash, row count, wall time.
+A resumed run recomputes ONLY prefixes whose manifest is missing or
+whose lineage hashes differ; completed prefixes' parquet output is
+reused as-is (idempotent dynamic partition overwrite).
+
+[BASELINE.json:14]: "resumable from checkpoint with per-partition
+lineage + metrics".
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import mosaic as mz
+from . import ops
+
+PREFIX_LEN = 2
+
+
+def input_snapshot_hash(df: DataFrame) -> str:
+    """Lineage hash of the scan's file set (names; stable snapshot id)."""
+    files = sorted(df.inputFiles())
+    return hashlib.sha256("\n".join(files).encode()).hexdigest()[:16]
+
+
+def _manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest")
+
+
+def read_manifests(out_dir: str) -> dict[str, dict]:
+    mdir = _manifest_dir(out_dir)
+    out = {}
+    if os.path.isdir(mdir):
+        for fn in os.listdir(mdir):
+            if fn.endswith(".json"):
+                with open(os.path.join(mdir, fn)) as f:
+                    m = json.load(f)
+                out[m["qk_prefix"]] = m
+    return out
+
+
+def build_with_checkpoint(
+    spark: SparkSession,
+    scenes: DataFrame,
+    cfg: ops.MosaicConfig,
+    out_dir: str,
+    resume: bool = False,
+) -> tuple[dict, dict]:
+    """E1 with per-prefix checkpointing. Returns (mosaic doc, metrics)."""
+    os.makedirs(out_dir, exist_ok=True)
+    os.makedirs(_manifest_dir(out_dir), exist_ok=True)
+    cfg_hash = cfg.config_hash()
+    in_hash = input_snapshot_hash(scenes)
+    data_dir = os.path.join(out_dir, "assignments")
+
+    done: set[str] = set()
+    if resume:
+        for pfx, m in read_manifests(out_dir).items():
+            part_dir = os.path.join(data_dir, f"qk_prefix={pfx}")
+            if (
+                m.get("config_hash") == cfg_hash
+                and m.get("input_hash") == in_hash
+                and os.path.isdir(part_dir)
+            ):
+                done.add(pfx)
+
+    assign = mz.quadkey_assignments(scenes, cfg).withColumn(
+        "qk_prefix", F.substring("quadkey", 1, PREFIX_LEN)
+    )
+    todo = assign
+    if done:
+        todo = assign.filter(~F.col("qk_prefix").isin(sorted(done)))
+
+    t0 = time.time()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # keep qk_prefix a STRING on re-read ("01" must not become int 1)
+    spark.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+    )
+    # range-cluster output files by quadkey so each prefix dir holds
+    # sorted, spatially-local runs (checkpointable ranges, SURVEY §4.3.4)
+    (
+        todo.repartitionByRange(cfg.salt_buckets, "quadkey")
+        .sortWithinPartitions("quadkey")
+        .write.mode("overwrite")
+        .partitionBy("qk_prefix")
+        .parquet(data_dir)
+    )
+    wall = time.time() - t0
+
+    # per-prefix manifests for everything now present
+    result = spark.read.parquet(data_dir)
+    counts = {
+        r["qk_prefix"]: (r["n"], r["n_rows"])
+        for r in result.groupBy("qk_prefix")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_assets").alias("n_rows"),
+        )
+        .collect()
+    }
+    for pfx, (n_tiles, n_rows) in counts.items():
+        if pfx in done:
+            continue
+        manifest = {
+            "qk_prefix": pfx,
+            "config_hash": cfg_hash,
+            "input_hash": in_hash,
+            "n_tiles": int(n_tiles),
+            "n_assignments": int(n_rows),
+            "wall_sec": wall,
+            "written_at": time.time(),
+        }
+        tmp = os.path.join(_manifest_dir(out_dir), f".{pfx}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(_manifest_dir(out_dir), f"{pfx}.json"))
+
+    # assemble the document from the checkpointed table (not a recompute)
+    filtered = ops.filter_scenes(scenes, cfg)
+    bounds = ops.mosaic_bounds(filtered, result)
+    rows = result.select("quadkey", "assets").collect()
+    tiles_map = {r["quadkey"]: list(r["assets"]) for r in rows}
+    doc = mz.assemble_mosaic_doc(tiles_map, bounds, cfg)
+
+    with open(os.path.join(out_dir, "mosaic.json"), "w") as f:
+        f.write(mz.canonical_json(doc))
+    metrics = {
+        "n_tiles": len(tiles_map),
+        "n_assignments": int(sum(len(v) for v in tiles_map.values())),
+        "n_prefixes": len(counts),
+        "n_prefixes_skipped": len(done),
+        "config_hash": cfg_hash,
+        "input_hash": in_hash,
+        "write_wall_sec": wall,
+    }
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2)
+    return doc, metrics

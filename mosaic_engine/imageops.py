@@ -1,0 +1,218 @@
+"""Image payload codecs + metrics — pure numpy/stdlib, no Spark, no PIL.
+
+The north rule ([BASELINE.json:16] input_hint) adds binary image payloads
+to every scene row; this module provides the decode / PSNR / perceptual-
+hash kernels the engine binds as Arrow UDFs. Codecs: 'raw' (C-order
+uint8 RGB), 'ppm' (binary P6), 'png' (true PNG via stdlib zlib — encode
+writes filter-0 rows; decode implements all five PNG row filters for
+8-bit RGB/RGBA/gray).
+
+Heavier codecs (JPEG etc.) are intentionally NOT implemented — the
+sandbox has no image libraries (SURVEY.md §0). `decode_image` raises
+NotImplementedError for unknown fmts; the Spark plumbing (schema,
+batching, UDF signatures) is identical for any codec.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+__all__ = [
+    "encode_image",
+    "decode_image",
+    "psnr_db",
+    "phash64",
+    "gray_u8",
+]
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    """Encode an (h, w, 3) uint8 array as raw | ppm | png bytes."""
+    pixels = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w = pixels.shape[0], pixels.shape[1]
+    if fmt == "raw":
+        return pixels.tobytes()
+    if fmt == "ppm":
+        return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+    if fmt == "png":
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+        rows = np.concatenate(
+            [np.zeros((h, 1), dtype=np.uint8), pixels.reshape(h, w * 3)],
+            axis=1,
+        )  # filter type 0 per row
+        idat = zlib.compress(rows.tobytes(), 6)
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat)
+            + _png_chunk(b"IEND", b"")
+        )
+    raise NotImplementedError(f"codec not available in this build: {fmt}")
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG row filters. raw shape (h, 1+stride); returns (h, stride)."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for r in range(h):  # rows depend on previous row — inherently sequential
+        ft = raw[r, 0]
+        line = raw[r, 1:].astype(np.int32)
+        prev = out[r - 1].astype(np.int32) if r > 0 else np.zeros(stride, np.int32)
+        if ft == 0:
+            cur = line
+        elif ft == 1:  # Sub
+            cur = line.copy()
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ft == 3:  # Average
+            cur = line.copy()
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            cur = line.copy()
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[r] = cur.astype(np.uint8)
+    return out
+
+
+def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    """Decode payload bytes to an (h, w, 3) uint8 RGB array."""
+    if fmt == "raw":
+        return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+    if fmt == "ppm":
+        # P6\n<w> <h>\n<maxval>\n<raster>
+        if not data.startswith(b"P6"):
+            raise ValueError("not a P6 ppm")
+        idx, fields = 2, []
+        while len(fields) < 3:
+            while idx < len(data) and data[idx : idx + 1].isspace():
+                idx += 1
+            if data[idx : idx + 1] == b"#":  # comment line
+                idx = data.index(b"\n", idx) + 1
+                continue
+            start = idx
+            while idx < len(data) and not data[idx : idx + 1].isspace():
+                idx += 1
+            fields.append(int(data[start:idx]))
+        idx += 1  # single whitespace after maxval
+        pw, ph, maxval = fields
+        if (pw, ph) != (w, h) or maxval != 255:
+            raise ValueError(f"ppm header mismatch: {fields} vs ({w},{h},255)")
+        return np.frombuffer(data, dtype=np.uint8, offset=idx).reshape(h, w, 3)
+    if fmt == "png":
+        if not data.startswith(_PNG_SIG):
+            raise ValueError("not a png")
+        idx = len(_PNG_SIG)
+        idat = b""
+        width = height = bitdepth = colortype = None
+        while idx < len(data):
+            (length,) = struct.unpack(">I", data[idx : idx + 4])
+            tag = data[idx + 4 : idx + 8]
+            payload = data[idx + 8 : idx + 8 + length]
+            idx += 12 + length
+            if tag == b"IHDR":
+                width, height, bitdepth, colortype = struct.unpack(
+                    ">IIBB", payload[:10]
+                )
+            elif tag == b"IDAT":
+                idat += payload
+            elif tag == b"IEND":
+                break
+        if bitdepth != 8 or colortype not in (0, 2, 6):
+            raise NotImplementedError(
+                f"png bitdepth/colortype {bitdepth}/{colortype} unsupported"
+            )
+        channels = {0: 1, 2: 3, 6: 4}[colortype]
+        stride = width * channels
+        raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(
+            height, 1 + stride
+        )
+        px = _png_unfilter(raw, height, stride, channels).reshape(
+            height, width, channels
+        )
+        if channels == 1:
+            px = np.repeat(px, 3, axis=2)
+        elif channels == 4:
+            px = px[:, :, :3]
+        if (width, height) != (w, h):
+            raise ValueError("png header mismatch")
+        return px
+    raise NotImplementedError(f"codec not available in this build: {fmt}")
+
+
+def psnr_db(a: np.ndarray, b: np.ndarray) -> float:
+    """PSNR between two uint8 images; inf when identical."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+def gray_u8(pixels: np.ndarray) -> np.ndarray:
+    """Integer Rec.601-ish luma — deterministic across platforms."""
+    p = pixels.astype(np.uint32)
+    return (
+        (299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]) // 1000
+    ).astype(np.uint8)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """8x8 average-hash of the grayscale image → signed int64.
+
+    Box-downsample to 8x8 via integer block means over an evenly
+    partitioned grid (exact for w,h multiples of 8; boundary-partition
+    otherwise) then threshold at the mean. Deterministic integer math.
+    """
+    g = gray_u8(pixels).astype(np.uint64)
+    h, w = g.shape
+    ye = (np.arange(9) * h) // 8
+    xe = (np.arange(9) * w) // 8
+    cs = np.zeros((h + 1, w + 1), dtype=np.uint64)
+    cs[1:, 1:] = g.cumsum(0).cumsum(1)
+    blocks = np.empty((8, 8), dtype=np.uint64)
+    for i in range(8):
+        for j in range(8):
+            # grouped so no intermediate goes negative (uint64 math)
+            tot = (cs[ye[i + 1], xe[j + 1]] + cs[ye[i], xe[j]]) - (
+                cs[ye[i], xe[j + 1]] + cs[ye[i + 1], xe[j]]
+            )
+            area = (ye[i + 1] - ye[i]) * (xe[j + 1] - xe[j])
+            blocks[i, j] = tot // max(area, 1)
+    mean = blocks.sum() // 64
+    bits = (blocks > mean).ravel()
+    val = np.uint64(0)
+    for k in range(64):
+        if bits[k]:
+            val |= np.uint64(1) << np.uint64(k)
+    return int(val.astype(np.int64))
+
+
+def hamming64(a: int, b: int) -> int:
+    """Hamming distance between two 64-bit hashes stored as signed int64."""
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")

@@ -1,0 +1,103 @@
+"""End-to-end mosaic build — the engine's `features_to_mosaicJSON`.
+
+Spark-first equivalent of [ref: landsat_cogeo_mosaic/mosaic.py#
+features_to_mosaicJSON] + the `create` CLI entry
+([ref: cli.py#create]): declarative filters (Catalyst pushdown) → fused
+footprint→quadkey explode (one Arrow stage, no shuffle) → salted
+two-phase selection aggregation → bounded driver-side collect
+(≤ 4^quadkey_zoom rows) → canonical JSON (SURVEY.md §7.3 byte-equality
+rules — the serializer is shared character-for-character with
+tests/oracle.py, which generates the committed goldens).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+
+from . import ops, udfs
+from .ops import MosaicConfig
+
+EXPLODE_PASSTHROUGH = ["image_id", "path", "row", "acquisition_date", "cloud_cover"]
+
+
+def quadkey_assignments(scenes: DataFrame, cfg: MosaicConfig) -> DataFrame:
+    """scenes → (quadkey, assets, n_assets); the distributed 99% of E1."""
+    filtered = ops.filter_scenes(scenes, cfg)
+    tiles = udfs.explode_to_quadkeys(
+        filtered, cfg.quadkey_zoom, passthrough=EXPLODE_PASSTHROUGH
+    )
+    return ops.assignments(tiles, cfg)
+
+
+def canonical_json(doc: dict) -> str:
+    """THE serializer (same expression as tests/oracle.canonical_json)."""
+    return json.dumps(doc, sort_keys=True, separators=(",", ":"))
+
+
+def assemble_mosaic_doc(
+    tiles_map: dict[str, list[str]], bounds: list[float], cfg: MosaicConfig
+) -> dict:
+    return {
+        "mosaicjson": "0.0.2",
+        "name": cfg.name,
+        "description": cfg.description,
+        "version": cfg.version,
+        "attribution": cfg.attribution,
+        "minzoom": cfg.minzoom,
+        "maxzoom": cfg.maxzoom,
+        "quadkey_zoom": cfg.quadkey_zoom,
+        "bounds": bounds,
+        "center": [
+            (bounds[0] + bounds[2]) / 2,
+            (bounds[1] + bounds[3]) / 2,
+            cfg.minzoom,
+        ],
+        "tiles": {qk: tiles_map[qk] for qk in sorted(tiles_map)},
+    }
+
+
+def build_mosaic(scenes: DataFrame, cfg: MosaicConfig) -> tuple[dict, DataFrame]:
+    """Full E1: returns (mosaicJSON document dict, assignments DataFrame).
+
+    Only the final (quadkey, assets) table crosses to the driver —
+    bounded by 4^quadkey_zoom regardless of input scale; for
+    quadkey_zoom > 10 assemble via toLocalIterator instead of collect.
+    """
+    assign = quadkey_assignments(scenes, cfg)
+    filtered = ops.filter_scenes(scenes, cfg)
+    bounds = ops.mosaic_bounds(filtered, assign)
+    if cfg.quadkey_zoom > 10:
+        rows = assign.select("quadkey", "assets").toLocalIterator()
+    else:
+        rows = assign.select("quadkey", "assets").collect()
+    tiles_map = {r["quadkey"]: list(r["assets"]) for r in rows}
+    return assemble_mosaic_doc(tiles_map, bounds, cfg), assign
+
+
+def missing_quadkeys_geojson(
+    land: DataFrame, assign: DataFrame, zoom: int
+) -> tuple[str, DataFrame]:
+    """E3: gaps under land as a canonical GeoJSON FeatureCollection.
+
+    Feature geometry = tile polygon; properties = {"quadkey": qk}.
+    Canonical form: features sorted by quadkey, same JSON serializer.
+    """
+    miss = ops.missing_quadkeys(land, assign, zoom)
+    with_bounds = udfs.quadkey_bounds(miss)
+    feats = []
+    for r in sorted(with_bounds.collect(), key=lambda r: r["quadkey"]):
+        w, s, e, n = r["tile_w"], r["tile_s"], r["tile_e"], r["tile_n"]
+        feats.append(
+            {
+                "type": "Feature",
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [[[w, s], [e, s], [e, n], [w, n], [w, s]]],
+                },
+                "properties": {"quadkey": r["quadkey"]},
+            }
+        )
+    doc = {"type": "FeatureCollection", "features": feats}
+    return canonical_json(doc), miss

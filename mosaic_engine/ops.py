@@ -1,0 +1,368 @@
+"""DataFrame-level plan builders — filters, ranking, salted aggregation,
+anti-join gap detection, kNN, raster↔vector join.
+
+Design notes (scale-first, SURVEY.md §4):
+
+* The hot pipeline contains NO window functions and NO per-quadkey sort
+  shuffle: scene preference is a total-order struct key
+  ``(pref_key, cloud_cover, image_id)``; `min(struct)` / sorted
+  `collect_list(struct)` give map-side partial aggregation, so the only
+  shuffles are hash exchanges on fine-grained keys.
+* Skew (a few dense quadkeys holding thousands of scenes) is handled
+  explicitly by a salted two-phase aggregation
+  ([BASELINE.json:6] "explicit salted-repartition skew handling"):
+  phase 1 aggregates (quadkey, salt) — heavy keys spread across S
+  tasks, with local top-k pruning when a cap is set — phase 2 merges S
+  small partials per quadkey. AQE stays on as defense in depth.
+* Reference semantics: filters = [ref: landsat_cogeo_mosaic/cli.py]
+  options; selection = [ref: mosaic.py#features_to_mosaicJSON]
+  (preference sort, optimized_selection per-(path,row) dedupe);
+  missing-quadkeys = [ref: missing.py#missing_quadkeys] anti join.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import udfs
+
+DEFAULT_SALT_BUCKETS = 16
+
+SEASON_MONTHS = {
+    "winter": (12, 1, 2),
+    "spring": (3, 4, 5),
+    "summer": (6, 7, 8),
+    "autumn": (9, 10, 11),
+    "fall": (9, 10, 11),
+}
+
+
+@dataclass
+class MosaicConfig:
+    """Build parameters mirroring the reference CLI options."""
+
+    quadkey_zoom: int = 8
+    minzoom: int = 7
+    maxzoom: int = 12
+    preference: str = "newest"  # newest | oldest | closest-to-date
+    closest_date: str | None = None  # ISO date for closest-to-date
+    optimized_selection: bool = False
+    max_cloud: float = 100.0
+    min_cloud: float = 0.0
+    bounds: tuple[float, float, float, float] | None = None
+    min_date: str | None = None
+    max_date: str | None = None
+    seasons: tuple[str, ...] = ()
+    tier_only: bool = False  # require _T1 products
+    max_assets_per_tile: int | None = None
+    salt_buckets: int = DEFAULT_SALT_BUCKETS
+    name: str = "mosaic"
+    description: str | None = None
+    version: str = "1.0.0"
+    attribution: str | None = None
+
+    def config_hash(self) -> str:
+        import hashlib
+        import json
+
+        blob = json.dumps(
+            {k: v for k, v in self.__dict__.items()}, sort_keys=True, default=str
+        )
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+# ---------------------------------------------------------------- filters
+def filter_scenes(df: DataFrame, cfg: MosaicConfig) -> DataFrame:
+    """F1–F5: all plain Catalyst predicates → parquet/Iceberg pushdown."""
+    out = df
+    if cfg.bounds is not None:
+        w, s, e, n = cfg.bounds
+        out = out.filter(
+            (F.col("min_lon") < e)
+            & (F.col("max_lon") > w)
+            & (F.col("min_lat") < n)
+            & (F.col("max_lat") > s)
+        )
+    if cfg.max_cloud < 100.0 or cfg.min_cloud > 0.0:
+        out = out.filter(F.col("cloud_cover").between(cfg.min_cloud, cfg.max_cloud))
+    else:
+        out = out.filter(F.col("cloud_cover") <= F.lit(100.0))
+    if cfg.min_date:
+        out = out.filter(F.col("acquisition_date") >= F.lit(cfg.min_date))
+    if cfg.max_date:
+        out = out.filter(F.col("acquisition_date") <= F.lit(cfg.max_date))
+    if cfg.seasons:
+        months = sorted({m for s_ in cfg.seasons for m in SEASON_MONTHS[s_]})
+        out = out.filter(F.month("acquisition_date").isin(months))
+    if cfg.tier_only:
+        out = out.filter(F.col("image_id").like("%_T1%"))
+    return out
+
+
+# ---------------------------------------------------------------- ranking
+def pref_key(cfg: MosaicConfig) -> Column:
+    """Numeric ascending-sort preference key (SURVEY.md §2.5 A2).
+
+    newest → -unix_seconds, oldest → +unix_seconds,
+    closest-to-date → |acq - target| seconds. Long arithmetic: exact.
+    """
+    ts = F.unix_timestamp("acquisition_date")
+    if cfg.preference == "newest":
+        return (-ts).alias("pref_key")
+    if cfg.preference == "oldest":
+        return ts.alias("pref_key")
+    if cfg.preference == "closest-to-date":
+        if not cfg.closest_date:
+            raise ValueError("closest-to-date preference needs closest_date")
+        target = F.unix_timestamp(F.lit(cfg.closest_date), "yyyy-MM-dd")
+        return F.abs(ts - target).alias("pref_key")
+    raise ValueError(f"unknown preference {cfg.preference!r}")
+
+
+def _sel_struct(cfg: MosaicConfig) -> Column:
+    """Total-order selection key: lexicographic struct comparison gives
+    (pref_key asc, cloud_cover asc, image_id asc) — fully deterministic,
+    usable in min()/sort_array() with map-side partial aggregation."""
+    return F.struct(
+        pref_key(cfg).alias("pref_key"),
+        F.col("cloud_cover").alias("cloud_cover"),
+        F.col("image_id").alias("image_id"),
+    ).alias("sel")
+
+
+def optimized_dedupe(tiles: DataFrame, cfg: MosaicConfig) -> DataFrame:
+    """A3: keep the best scene per (quadkey, path, row).
+
+    min(struct) aggregation instead of a window: partial min runs
+    map-side, so dense quadkeys never concentrate in one task before
+    reduction. Output: (quadkey, sel struct).
+    """
+    return tiles.groupBy("quadkey", "path", "row").agg(
+        F.min(_sel_struct(cfg)).alias("sel")
+    )
+
+
+def assignments(tiles: DataFrame, cfg: MosaicConfig) -> DataFrame:
+    """A1+A2(+A6): per-quadkey rank-ordered asset lists.
+
+    Salted two-phase aggregation (§4.3): phase-1 collects per
+    (quadkey, salt) with optional local top-k prune; phase-2 merges the
+    ≤S partial lists per quadkey and finalizes order. Returns
+    (quadkey, assets array<string>, n_assets int).
+    """
+    cap = cfg.max_assets_per_tile
+    if cfg.optimized_selection:
+        keyed = optimized_dedupe(tiles, cfg)
+    else:
+        keyed = tiles.select("quadkey", _sel_struct(cfg))
+    salted = keyed.withColumn(
+        "salt", F.pmod(F.xxhash64(F.col("sel.image_id")), F.lit(cfg.salt_buckets))
+    )
+    part = F.sort_array(F.collect_list("sel"))
+    part = (F.slice(part, 1, cap) if cap else part).alias("part")
+    phase1 = salted.groupBy("quadkey", "salt").agg(part)
+    merged = phase1.groupBy("quadkey").agg(
+        F.sort_array(F.flatten(F.collect_list("part"))).alias("sels")
+    )
+    sels = F.slice("sels", 1, cap) if cap else F.col("sels")
+    return merged.select(
+        "quadkey",
+        F.transform(sels, lambda s: s["image_id"]).alias("assets"),
+        F.size(sels).alias("n_assets"),
+    )
+
+
+def assignments_relational(assign: DataFrame) -> DataFrame:
+    """(quadkey, assets) → (quadkey, asset, rank) — the join-output form;
+    rank from array position, no window needed."""
+    return assign.select(
+        "quadkey", F.posexplode("assets").alias("pos", "asset")
+    ).select("quadkey", "asset", (F.col("pos") + 1).alias("rank"))
+
+
+def mosaic_bounds(scenes: DataFrame, assign: DataFrame) -> list[float]:
+    """A4 over scenes actually used in the mosaic (left_semi join)."""
+    used = scenes.join(
+        assign.select(F.explode("assets").alias("image_id")).distinct(),
+        "image_id",
+        "left_semi",
+    )
+    row = used.agg(
+        F.min("min_lon"), F.min("min_lat"), F.max("max_lon"), F.max("max_lat")
+    ).first()
+    if row is None or row[0] is None:
+        return [-180.0, -90.0, 180.0, 90.0]
+    return [row[0], row[1], row[2], row[3]]
+
+
+# ------------------------------------------------------------- gap check
+def missing_quadkeys(
+    land: DataFrame, assign: DataFrame, zoom: int
+) -> DataFrame:
+    """E3: quadkeys under land polygons absent from the mosaic — a
+    left_anti join on quadkey ([ref: missing.py#missing_quadkeys])."""
+    land_qk = udfs.ring_to_quadkeys(land, zoom, "land_id").select(
+        "quadkey"
+    ).distinct()
+    return land_qk.join(assign.select("quadkey"), "quadkey", "left_anti")
+
+
+def coverage_quadkeys(
+    probe: DataFrame, assign: DataFrame
+) -> DataFrame:
+    """J6: left_semi membership — which probe quadkeys are covered."""
+    return probe.join(assign.select("quadkey"), "quadkey", "left_semi")
+
+
+# ------------------------------------------------------------------- kNN
+def knn_join(
+    scenes: DataFrame,
+    queries: DataFrame,
+    k: int | None = None,
+    level: int = 5,
+    max_rounds: int = 4,
+) -> DataFrame:
+    """J3: k nearest scenes (by footprint-centroid haversine) per query.
+
+    Cell-banded equi-join: probes explode to their 3x3 neighbor cells at
+    `level` (progressively coarser each round for unmatched probes —
+    ring expansion), scenes map to their centroid cell; the equi-join on
+    cell_id is broadcastable (queries are small). Exact haversine +
+    total-order tiebreak (dist, image_id) ranks within each query.
+
+    Guarantee: a query matched at level L with k hits whose max distance
+    is ≤ one tile width at L is exact; coarsening to level-1 ensures the
+    3x3 band always eventually covers the true top-k (final fallback:
+    level 0 == full cross join for still-unmatched probes).
+    """
+    u = udfs.make_scalar_udfs()
+    cent = scenes.select(
+        "image_id",
+        ((F.col("min_lon") + F.col("max_lon")) / 2).alias("slon"),
+        ((F.col("min_lat") + F.col("max_lat")) / 2).alias("slat"),
+    )
+    kcol = F.lit(k) if k is not None else F.col("k")
+
+    remaining = queries
+    results = None
+    lv = level
+    while lv >= 0:
+        sc = cent.withColumn("cell", u["cell_id"]("slon", "slat", F.lit(lv)))
+        pr = remaining.withColumn(
+            "cell",
+            F.explode(
+                F.array_distinct(u["cell_neighbors"]("lon", "lat", F.lit(lv)))
+            ),
+        )
+        # probes are the small side — broadcast them, stream the scenes
+        joined = sc.join(F.broadcast(pr), "cell").drop("cell")
+        scored = joined.withColumn(
+            "dist_m", u["haversine_m"]("lon", "lat", "slon", "slat")
+        )
+        # top-k per query via sorted-struct aggregation (no window)
+        topk = (
+            scored.groupBy("query_id")
+            .agg(
+                F.slice(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("dist_m"), F.col("image_id")
+                            )
+                        )
+                    ),
+                    1,
+                    F.max(kcol),
+                ).alias("nn"),
+                F.max(kcol).alias("k_req"),
+                F.count("*").alias("n_cand"),
+            )
+        )
+        # a query is DONE when its band produced ≥k candidates AND its
+        # k-th distance is ≤ the band's guaranteed-covered radius (one
+        # tile height at this level around the probe — conservative).
+        if lv == 0:
+            done = topk
+            rest = None
+        else:
+            # min tile extent at this level near the probe, in meters:
+            # conservative lower bound = 360/2^lv degrees * 111km * cos(85°)
+            guard_m = (360.0 / (1 << lv)) * 111_000.0 * 0.0871557
+            done = topk.filter(
+                (F.col("n_cand") >= F.col("k_req"))
+                & (F.element_at("nn", F.col("k_req"))["dist_m"] <= guard_m)
+            )
+            rest = topk.join(done, "query_id", "left_anti")
+        out = done.select(
+            "query_id", F.posexplode("nn").alias("pos", "nn")
+        ).select(
+            "query_id",
+            (F.col("pos") + 1).alias("rank"),
+            F.col("nn.image_id").alias("image_id"),
+            F.col("nn.dist_m").alias("dist_m"),
+        )
+        results = out if results is None else results.unionByName(out)
+        if rest is None:
+            break
+        # NOT semi-join on `rest`: probes with zero candidates at this
+        # level appear in neither done nor rest and must stay remaining
+        remaining = remaining.join(
+            done.select("query_id"), "query_id", "left_anti"
+        )
+        lv -= 1
+        if lv < 0:
+            break
+    return results
+
+
+def knn_bruteforce(
+    scenes: DataFrame, queries: DataFrame, k: int | None = None
+) -> DataFrame:
+    """Exact kNN oracle path: broadcast cross join + sorted-struct top-k."""
+    u = udfs.make_scalar_udfs()
+    cent = scenes.select(
+        "image_id",
+        ((F.col("min_lon") + F.col("max_lon")) / 2).alias("slon"),
+        ((F.col("min_lat") + F.col("max_lat")) / 2).alias("slat"),
+    )
+    kcol = F.lit(k) if k is not None else F.col("k")
+    scored = cent.crossJoin(F.broadcast(queries)).withColumn(
+        "dist_m", u["haversine_m"]("lon", "lat", "slon", "slat")
+    )
+    topk = scored.groupBy("query_id").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("dist_m"), F.col("image_id")))
+            ),
+            1,
+            F.max(kcol),
+        ).alias("nn")
+    )
+    return topk.select(
+        "query_id", F.posexplode("nn").alias("pos", "nn")
+    ).select(
+        "query_id",
+        (F.col("pos") + 1).alias("rank"),
+        F.col("nn.image_id").alias("image_id"),
+        F.col("nn.dist_m").alias("dist_m"),
+    )
+
+
+# --------------------------------------------------- raster ↔ vector join
+def raster_vector_join(
+    scenes: DataFrame, vectors: DataFrame, zoom: int
+) -> DataFrame:
+    """J4: scene footprints × vector polygons via quadkey co-membership.
+
+    Both sides explode through the same fused kernel, then a hash
+    equi-join on quadkey — the canonical raster↔vector plan at scale
+    (pre-partitionable, skew-saltable, no geometry in the join itself).
+    """
+    s_qk = udfs.explode_to_quadkeys(scenes, zoom, passthrough=["image_id"])
+    v_qk = udfs.ring_to_quadkeys(vectors, zoom, "feature_id")
+    return s_qk.select("quadkey", "image_id").join(
+        v_qk.select("quadkey", "feature_id"), "quadkey"
+    )

@@ -1,0 +1,320 @@
+"""Arrow-batched Spark bindings for the numpy kernels — zero per-row Python.
+
+The reference's per-feature loop
+([ref: landsat_cogeo_mosaic/mosaic.py#features_to_mosaicJSON]:
+``for feature: for tile in mercantile.tiles(bounds): if prepared.intersects``)
+becomes ONE fused mapInPandas stage here: bbox cover candidate
+generation + exact polygon∩tile refinement + quadkey encoding, all
+vectorized across an Arrow batch (SURVEY.md §2.3 G2∘G5∘G3). The grid is
+computed, not stored, so the "spatial join" needs no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import cells as cl
+from . import geometry as geo
+from . import imageops as im
+from . import tilemath as tm
+
+EXPLODE_GEOM_COLS = [
+    "min_lon",
+    "min_lat",
+    "max_lon",
+    "max_lat",
+    "fp_xs",
+    "fp_ys",
+]
+
+
+def _explode_batch(
+    pdf: pd.DataFrame, zoom: int, passthrough: list[str], exact: bool
+) -> pd.DataFrame:
+    """One Arrow batch of scenes → (passthrough..., tx, ty, quadkey) rows."""
+    n = len(pdf)
+    empty = {c: pdf[c].iloc[:0] for c in passthrough}
+    empty.update(
+        {
+            "tx": np.empty(0, np.int64),
+            "ty": np.empty(0, np.int64),
+            "quadkey": np.empty(0, object),
+        }
+    )
+    if n == 0:
+        return pd.DataFrame(empty)
+    min_lon = pdf["min_lon"].to_numpy(np.float64)
+    min_lat = pdf["min_lat"].to_numpy(np.float64)
+    max_lon = pdf["max_lon"].to_numpy(np.float64)
+    max_lat = pdf["max_lat"].to_numpy(np.float64)
+
+    # antimeridian-crossing scenes (min_lon > max_lon, unwrapped ring —
+    # datagen.py convention) contribute two boxes; eastern-half tile
+    # boxes are tested shifted +360 so the unwrapped ring needs no copy.
+    cross = min_lon > max_lon
+    sidx = np.concatenate([np.arange(n), np.nonzero(cross)[0]])
+    bw = np.concatenate([min_lon, np.full(cross.sum(), -180.0)])
+    be = np.concatenate([np.where(cross, 180.0, max_lon), max_lon[cross]])
+    bs = np.concatenate([min_lat, min_lat[cross]])
+    bn = np.concatenate([max_lat, max_lat[cross]])
+    shift = np.concatenate([np.zeros(n), np.full(cross.sum(), 360.0)])
+
+    x0, x1, y0, y1 = tm.cover_ranges(bw, bs, be, bn, zoom)
+    nx = np.maximum(x1 - x0 + 1, 0)
+    ny = np.maximum(y1 - y0 + 1, 0)
+    counts = nx * ny
+    total = int(counts.sum())
+    if total == 0:
+        return pd.DataFrame(empty)
+    # flat candidate expansion: box b repeated counts[b] times
+    box_of = np.repeat(np.arange(len(counts)), counts)
+    offs = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    within = np.arange(total) - offs[box_of]
+    tx = x0[box_of] + within // ny[box_of]
+    ty = y0[box_of] + within % ny[box_of]
+    scene_of = sidx[box_of]
+
+    if exact:
+        tb_w, tb_s, tb_e, tb_n = tm.tile_bounds(tx, ty, zoom)
+        sh = shift[box_of]
+        RX, RY, nv = geo.pad_rings(
+            pdf["fp_xs"].to_numpy(), pdf["fp_ys"].to_numpy()
+        )
+        keep = geo.polys_intersect_boxes(
+            RX, RY, nv, scene_of, tb_w + sh, tb_s, tb_e + sh, tb_n
+        )
+        tx, ty, scene_of = tx[keep], ty[keep], scene_of[keep]
+
+    out = {c: pdf[c].to_numpy()[scene_of] for c in passthrough}
+    out["tx"] = tx
+    out["ty"] = ty
+    out["quadkey"] = tm.tile_to_quadkey(tx, ty, zoom)
+    return pd.DataFrame(out)
+
+
+def explode_to_quadkeys(
+    df: DataFrame,
+    zoom: int,
+    passthrough: list[str] | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Scenes → one row per (scene, intersecting quadkey) at `zoom`.
+
+    Fused candidate-gen + exact-intersects + quadkey encode in a single
+    Python-worker stage; narrow (no shuffle). Only `passthrough` columns
+    survive, keeping the Arrow transfer minimal (column pruning across
+    the Python boundary is manual — Catalyst prunes the scan for us).
+    """
+    if passthrough is None:
+        passthrough = ["image_id", "path", "row", "acquisition_date", "cloud_cover"]
+    in_cols = list(dict.fromkeys(passthrough + EXPLODE_GEOM_COLS))
+    src = df.select(*in_cols)
+    fields = [src.schema[c] for c in passthrough]
+    out_schema = T.StructType(
+        fields
+        + [
+            T.StructField("tx", T.LongType()),
+            T.StructField("ty", T.LongType()),
+            T.StructField("quadkey", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _explode_batch(pdf, zoom, passthrough, exact)
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
+def ring_to_quadkeys(
+    df: DataFrame, zoom: int, id_col: str, xs_col: str = "xs", ys_col: str = "ys"
+) -> DataFrame:
+    """Generic polygon table → (id_col, quadkey) at `zoom` (land masks,
+    vector tiles). Same fused kernel; bbox derived from the ring."""
+    src = df.select(
+        F.col(id_col),
+        F.col(xs_col).alias("fp_xs"),
+        F.col(ys_col).alias("fp_ys"),
+        F.array_min(xs_col).alias("min_lon"),
+        F.array_min(ys_col).alias("min_lat"),
+        F.array_max(xs_col).alias("max_lon"),
+        F.array_max(ys_col).alias("max_lat"),
+    )
+    out_schema = T.StructType(
+        [src.schema[id_col]]
+        + [
+            T.StructField("tx", T.LongType()),
+            T.StructField("ty", T.LongType()),
+            T.StructField("quadkey", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _explode_batch(pdf, zoom, [id_col], exact=True)
+
+    return src.mapInPandas(run, schema=out_schema)
+
+
+# ------------------------------------------------------------ scalar UDFs
+def make_scalar_udfs():
+    """Construct the pandas_udf column functions (lazy: needs a JVM)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.LongType())
+    def cell_id(lon: pd.Series, lat: pd.Series, level: pd.Series) -> pd.Series:
+        lv = int(level.iloc[0])
+        return pd.Series(cl.encode_cells(lon.to_numpy(), lat.to_numpy(), lv))
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def cell_neighbors(
+        lon: pd.Series, lat: pd.Series, level: pd.Series
+    ) -> pd.Series:
+        lv = int(level.iloc[0])
+        nb = cl.neighbor_cells_3x3(lon.to_numpy(), lat.to_numpy(), lv)
+        return pd.Series(list(nb))
+
+    @pandas_udf(T.DoubleType())
+    def haversine_m(
+        lon1: pd.Series, lat1: pd.Series, lon2: pd.Series, lat2: pd.Series
+    ) -> pd.Series:
+        return pd.Series(
+            geo.haversine_m(
+                lon1.to_numpy(np.float64),
+                lat1.to_numpy(np.float64),
+                lon2.to_numpy(np.float64),
+                lat2.to_numpy(np.float64),
+            )
+        )
+
+    @pandas_udf(T.StringType())
+    def tile_quadkey(tx: pd.Series, ty: pd.Series, z: pd.Series) -> pd.Series:
+        zoom = int(z.iloc[0])
+        return pd.Series(
+            tm.tile_to_quadkey(tx.to_numpy(np.int64), ty.to_numpy(np.int64), zoom)
+        )
+
+    return {
+        "cell_id": cell_id,
+        "cell_neighbors": cell_neighbors,
+        "haversine_m": haversine_m,
+        "tile_quadkey": tile_quadkey,
+    }
+
+
+QUADKEY_BOUNDS_SCHEMA = T.StructType(
+    [
+        T.StructField("quadkey", T.StringType()),
+        T.StructField("tile_w", T.DoubleType()),
+        T.StructField("tile_s", T.DoubleType()),
+        T.StructField("tile_e", T.DoubleType()),
+        T.StructField("tile_n", T.DoubleType()),
+    ]
+)
+
+
+def quadkey_bounds(df: DataFrame, quadkey_col: str = "quadkey") -> DataFrame:
+    """Append tile bounds for a quadkey column (for GeoJSON emission)."""
+    src_cols = df.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            qk = pdf[quadkey_col].to_numpy(object)
+            xs, ys, zs = tm.quadkey_to_tile(qk)
+            if len(qk):
+                z = int(zs[0])
+                w, s, e, n = tm.tile_bounds(xs, ys, z)
+            else:
+                w = s = e = n = np.empty(0)
+            out = pdf.copy()
+            out["tile_w"], out["tile_s"], out["tile_e"], out["tile_n"] = w, s, e, n
+            yield out
+
+    schema = T.StructType(
+        [df.schema[c] for c in src_cols]
+        + [
+            T.StructField("tile_w", T.DoubleType()),
+            T.StructField("tile_s", T.DoubleType()),
+            T.StructField("tile_e", T.DoubleType()),
+            T.StructField("tile_n", T.DoubleType()),
+        ]
+    )
+    return df.mapInPandas(run, schema=schema)
+
+
+IMAGE_CHECK_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("decode_ok", T.BooleanType()),
+        T.StructField("psnr_db", T.DoubleType()),
+        T.StructField("phash_recomputed", T.LongType()),
+        T.StructField("phash_match", T.BooleanType()),
+        T.StructField("caption_ok", T.BooleanType()),
+    ]
+)
+
+
+def image_invariants(df: DataFrame) -> DataFrame:
+    """Per-row image invariant check ([BASELINE.json:16]): decode the
+    payload, recompute phash, verify caption embeds the image_id.
+
+    PSNR here compares decode(encode(decode(x))) — for our lossless
+    codecs it must be +inf; a lossy codec would assert ≥ 40 dB.
+    """
+    src = df.select("image_id", "bytes", "w", "h", "fmt", "caption", "phash")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            ok = np.zeros(n, bool)
+            psnr = np.full(n, np.nan)
+            ph = np.zeros(n, np.int64)
+            phm = np.zeros(n, bool)
+            # decode is per-image by necessity (variable shapes); the
+            # pixel math inside each decode is vectorized numpy
+            for i in range(n):
+                try:
+                    px = im.decode_image(
+                        pdf["bytes"].iloc[i],
+                        int(pdf["w"].iloc[i]),
+                        int(pdf["h"].iloc[i]),
+                        pdf["fmt"].iloc[i],
+                    )
+                    re = im.decode_image(
+                        im.encode_image(px, pdf["fmt"].iloc[i]),
+                        int(pdf["w"].iloc[i]),
+                        int(pdf["h"].iloc[i]),
+                        pdf["fmt"].iloc[i],
+                    )
+                    ok[i] = True
+                    psnr[i] = im.psnr_db(px, re)
+                    ph[i] = im.phash64(px)
+                    phm[i] = ph[i] == int(pdf["phash"].iloc[i])
+                except Exception:
+                    ok[i] = False
+            cap = np.fromiter(
+                (
+                    iid in c
+                    for iid, c in zip(pdf["image_id"], pdf["caption"])
+                ),
+                dtype=bool,
+                count=n,
+            )
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "decode_ok": ok,
+                    "psnr_db": psnr,
+                    "phash_recomputed": ph,
+                    "phash_match": phm,
+                    "caption_ok": cap,
+                }
+            )
+
+    return src.mapInPandas(run, schema=IMAGE_CHECK_SCHEMA)

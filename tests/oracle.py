@@ -205,25 +205,35 @@ def haversine_m(lon1, lat1, lon2, lat2, radius=6371008.8):
 def scene_quadkeys(scene: dict, quadkey_zoom: int) -> set[str]:
     """Quadkeys whose tile cell intersects the scene footprint."""
     ring = list(zip(scene["fp_xs"], scene["fp_ys"]))
-    if scene["min_lon"] > scene["max_lon"]:  # antimeridian-crossing bbox
+    if scene["min_lon"] > scene["max_lon"]:
+        # antimeridian-crossing bbox (datagen convention: unwrapped ring,
+        # wrapped bounds). Western tiles test the ring as-is; eastern
+        # tiles test the ring shifted by -360.
+        ring_e = [(x - 360.0, y) for x, y in ring]
         boxes = [
-            (-180.0, scene["min_lat"], scene["max_lon"], scene["max_lat"]),
-            (scene["min_lon"], scene["min_lat"], 180.0, scene["max_lat"]),
+            ((scene["min_lon"], scene["min_lat"], 180.0, scene["max_lat"]), ring),
+            (
+                (-180.0, scene["min_lat"], scene["max_lon"], scene["max_lat"]),
+                ring_e,
+            ),
         ]
     else:
         boxes = [
             (
-                scene["min_lon"],
-                scene["min_lat"],
-                scene["max_lon"],
-                scene["max_lat"],
+                (
+                    scene["min_lon"],
+                    scene["min_lat"],
+                    scene["max_lon"],
+                    scene["max_lat"],
+                ),
+                ring,
             )
         ]
     qks = set()
-    for bx in boxes:
+    for bx, rg in boxes:
         for tx, ty in tiles_cover(*bx, quadkey_zoom):
             w, s, e, n = tile_bounds(tx, ty, quadkey_zoom)
-            if ring_intersects_box(ring, w, s, e, n):
+            if ring_intersects_box(rg, w, s, e, n):
                 qks.add(quadkey(tx, ty, quadkey_zoom))
     return qks
 

@@ -1,0 +1,64 @@
+"""Checkpoint / resume / lineage (SURVEY.md §7.5, north rule)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from mosaic_engine import checkpoint, mosaic as mz
+from mosaic_engine.ops import MosaicConfig
+
+
+def _build(spark, scenes_df, out, resume=False, **kw):
+    cfg = MosaicConfig(quadkey_zoom=7, optimized_selection=True, **kw)
+    return checkpoint.build_with_checkpoint(spark, scenes_df, cfg, out, resume=resume)
+
+
+def test_checkpoint_build_and_full_resume(spark, scenes_df, tmp_path):
+    out = str(tmp_path / "ckpt")
+    doc1, m1 = _build(spark, scenes_df, out)
+    assert m1["n_prefixes_skipped"] == 0
+    assert m1["n_tiles"] == len(doc1["tiles"]) > 0
+    # full resume: every prefix skipped, byte-identical document
+    doc2, m2 = _build(spark, scenes_df, out, resume=True)
+    assert m2["n_prefixes_skipped"] == m1["n_prefixes"]
+    assert mz.canonical_json(doc2) == mz.canonical_json(doc1)
+    # manifests carry lineage
+    mans = checkpoint.read_manifests(out)
+    assert len(mans) == m1["n_prefixes"]
+    for m in mans.values():
+        assert m["config_hash"] == m1["config_hash"]
+        assert m["input_hash"] == m1["input_hash"]
+        assert m["n_tiles"] > 0
+
+
+def test_partial_resume_after_kill(spark, scenes_df, tmp_path):
+    """Simulate a mid-run kill: one prefix's manifest+data lost."""
+    out = str(tmp_path / "ckpt2")
+    doc1, m1 = _build(spark, scenes_df, out)
+    mans = checkpoint.read_manifests(out)
+    victim = sorted(mans)[0]
+    os.remove(os.path.join(out, "_manifest", f"{victim}.json"))
+    shutil.rmtree(os.path.join(out, "assignments", f"qk_prefix={victim}"))
+    doc2, m2 = _build(spark, scenes_df, out, resume=True)
+    assert m2["n_prefixes_skipped"] == m1["n_prefixes"] - 1
+    assert mz.canonical_json(doc2) == mz.canonical_json(doc1)
+
+
+def test_config_change_invalidates(spark, scenes_df, tmp_path):
+    out = str(tmp_path / "ckpt3")
+    _build(spark, scenes_df, out)
+    # different preference → hashes differ → nothing skipped
+    doc, m = _build(spark, scenes_df, out, resume=True, preference="oldest")
+    assert m["n_prefixes_skipped"] == 0
+
+
+def test_metrics_file_written(spark, scenes_df, tmp_path):
+    out = str(tmp_path / "ckpt4")
+    _, m = _build(spark, scenes_df, out)
+    with open(os.path.join(out, "metrics.json")) as f:
+        on_disk = json.load(f)
+    assert on_disk["n_assignments"] == m["n_assignments"] > 0
+    with open(os.path.join(out, "mosaic.json")) as f:
+        assert f.read().startswith('{"attribution"')

@@ -1,0 +1,125 @@
+"""Codec round-trips, PSNR, phash determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mosaic_engine import imageops as im
+
+
+def _img(seed=0, w=32, h=32):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.int64).astype(np.uint8)
+
+
+@pytest.mark.parametrize("fmt", ["raw", "ppm", "png"])
+@pytest.mark.parametrize("shape", [(32, 32), (64, 48), (7, 13)])
+def test_roundtrip_exact(fmt, shape):
+    h, w = shape
+    px = _img(1, w, h)
+    data = im.encode_image(px, fmt)
+    out = im.decode_image(data, w, h, fmt)
+    assert (out == px).all()
+    assert im.psnr_db(px, out) == float("inf")
+
+
+def test_png_all_filter_types_decode():
+    # build a PNG using each filter type per row and check decode
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(3)
+    h, w = 10, 16
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.int64).astype(np.uint8)
+    raw_rows = px.reshape(h, w * 3).astype(np.int32)
+    enc_rows = []
+    for r in range(h):
+        ft = r % 5
+        line = raw_rows[r]
+        prev = raw_rows[r - 1] if r > 0 else np.zeros(w * 3, np.int32)
+        if ft == 0:
+            out = line.copy()
+        elif ft == 1:
+            out = line.copy()
+            out[3:] = (line[3:] - line[:-3]) & 0xFF
+        elif ft == 2:
+            out = (line - prev) & 0xFF
+        elif ft == 3:
+            out = line.copy()
+            for i in range(w * 3):
+                a = line[i - 3] if i >= 3 else 0
+                out[i] = (line[i] - ((a + prev[i]) >> 1)) & 0xFF
+        else:
+            out = line.copy()
+            for i in range(w * 3):
+                a = line[i - 3] if i >= 3 else 0
+                b = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                p = a + b - c
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
+                out[i] = (line[i] - pr) & 0xFF
+        enc_rows.append(np.concatenate([[ft], out]).astype(np.uint8))
+    body = zlib.compress(np.concatenate(enc_rows).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + im._png_chunk(b"IHDR", ihdr)
+        + im._png_chunk(b"IDAT", body)
+        + im._png_chunk(b"IEND", b"")
+    )
+    out = im.decode_image(png, w, h, "png")
+    assert (out == px).all()
+
+
+def test_psnr_threshold():
+    px = _img(2, 64, 64)
+    noisy = px.astype(np.int32) + 1  # tiny perturbation → very high PSNR
+    noisy = np.clip(noisy, 0, 255).astype(np.uint8)
+    assert im.psnr_db(px, noisy) > 40.0
+    heavy = np.clip(px.astype(np.int32) + 80, 0, 255).astype(np.uint8)
+    assert im.psnr_db(px, heavy) < 40.0
+
+
+def test_phash_deterministic_and_robust():
+    px = _img(4, 64, 64)
+    h1 = im.phash64(px)
+    h2 = im.phash64(px.copy())
+    assert h1 == h2
+    assert isinstance(h1, int)
+    assert -(2**63) <= h1 < 2**63
+    # mild noise keeps hash close; inversion flips it far
+    noisy = np.clip(px.astype(np.int32) + 4, 0, 255).astype(np.uint8)
+    assert im.hamming64(h1, im.phash64(noisy)) <= 12
+    assert im.hamming64(h1, im.phash64(255 - px)) >= 32
+
+
+def test_unknown_codec_is_explicit():
+    with pytest.raises(NotImplementedError):
+        im.encode_image(_img(), "jpeg")
+    with pytest.raises(NotImplementedError):
+        im.decode_image(b"\xff\xd8", 1, 1, "jpeg")
+
+
+def test_datagen_payload_invariants():
+    """FIXTURES.md §1: engine recomputes phash; decode matches encode."""
+    from mosaic_engine import datagen
+
+    t = datagen.gen_scenes(n_scenes=40, paths=4, rows=4, seed=42)
+    d = t.to_pydict()
+    for i in range(t.num_rows):
+        px = im.decode_image(d["bytes"][i], d["w"][i], d["h"][i], d["fmt"][i])
+        assert px.shape == (d["h"][i], d["w"][i], 3)
+        assert im.phash64(px) == d["phash"][i]
+        assert d["image_id"][i] in d["caption"][i]
+
+
+def test_datagen_deterministic():
+    from mosaic_engine import datagen
+
+    a = datagen.gen_scenes(n_scenes=60, seed=42)
+    b = datagen.gen_scenes(n_scenes=60, seed=42)
+    assert a.equals(b)
+    c = datagen.gen_scenes(n_scenes=60, seed=43)
+    assert not a.equals(c)

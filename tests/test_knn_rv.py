@@ -1,0 +1,115 @@
+"""kNN (banded vs brute vs scalar oracle) + raster↔vector join + cells."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from mosaic_engine import cells, ops
+from tests import oracle
+
+
+def _oracle_knn(scene_records, query_recs):
+    """Scalar brute-force top-k with (dist, image_id) tiebreak."""
+    cents = [
+        (
+            r["image_id"],
+            (r["min_lon"] + r["max_lon"]) / 2,
+            (r["min_lat"] + r["max_lat"]) / 2,
+        )
+        for r in scene_records
+    ]
+    out = {}
+    for q in query_recs:
+        scored = sorted(
+            (
+                (oracle.haversine_m(q["lon"], q["lat"], lon, lat), iid)
+                for iid, lon, lat in cents
+            ),
+        )[: q["k"]]
+        out[q["query_id"]] = [(i + 1, iid, d) for i, (d, iid) in enumerate(scored)]
+    return out
+
+
+def test_cells_roundtrip_and_parent():
+    rng = np.random.default_rng(1)
+    for level in (0, 3, 9, 15, 29):
+        xs = rng.integers(0, 1 << level, 200) if level else np.zeros(200, np.int64)
+        ys = rng.integers(0, 1 << level, 200) if level else np.zeros(200, np.int64)
+        packed = cells.pack_cell(xs, ys, level)
+        rx, ry, rl = cells.unpack_cell(packed)
+        assert (rx == xs).all() and (ry == ys).all() and (rl == level).all()
+        if level:
+            par = cells.cell_parent(packed)
+            px, py, pl = cells.unpack_cell(par)
+            assert (px == xs >> 1).all() and (py == ys >> 1).all()
+            assert (pl == level - 1).all()
+
+
+def test_cell_neighbors_wrap_and_clamp():
+    nb = cells.neighbor_cells_3x3(np.array([-179.9]), np.array([0.0]), 4)
+    xs, ys, _ = cells.unpack_cell(nb[0])
+    assert 15 in xs and 0 in xs  # antimeridian x-wrap
+    nb = cells.neighbor_cells_3x3(np.array([0.0]), np.array([84.9]), 4)
+    _, ys, _ = cells.unpack_cell(nb[0])
+    assert ys.min() == 0  # clamped at the top row
+
+
+@pytest.mark.parametrize("mode", ["banded", "brute"])
+def test_knn_matches_oracle(spark, scenes_df, scene_records, fixture_dir, mode):
+    queries = spark.read.parquet(os.path.join(fixture_dir, "knn_queries.parquet"))
+    if mode == "banded":
+        res = ops.knn_join(scenes_df, queries, level=5)
+    else:
+        res = ops.knn_bruteforce(scenes_df, queries)
+    got: dict[int, list] = {}
+    for r in res.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["image_id"], r["dist_m"])
+        )
+    for q in got:
+        got[q].sort()
+    qrecs = pq.read_table(
+        os.path.join(fixture_dir, "knn_queries.parquet")
+    ).to_pylist()
+    exp = _oracle_knn(scene_records, qrecs)
+    assert set(got) == set(exp)
+    for qid in exp:
+        g, e = got[qid], exp[qid]
+        assert [(r, i) for r, i, _ in g] == [(r, i) for r, i, _ in e], qid
+        for (_, _, gd), (_, _, ed) in zip(g, e):
+            assert gd == pytest.approx(ed, rel=1e-12)
+
+
+def test_rv_join_matches_oracle(spark, scenes_df, scene_records, fixture_dir):
+    vectors = spark.read.parquet(
+        os.path.join(fixture_dir, "vector_tiles.parquet")
+    )
+    got = {
+        (r["quadkey"], r["image_id"], r["feature_id"])
+        for r in ops.raster_vector_join(scenes_df, vectors, 8).collect()
+    }
+    vrecs = pq.read_table(
+        os.path.join(fixture_dir, "vector_tiles.parquet")
+    ).to_pylist()
+    exp = set()
+    vq = {}
+    for v in vrecs:
+        sc = {
+            "fp_xs": v["xs"],
+            "fp_ys": v["ys"],
+            "min_lon": min(v["xs"]),
+            "min_lat": min(v["ys"]),
+            "max_lon": max(v["xs"]),
+            "max_lat": max(v["ys"]),
+        }
+        vq[v["feature_id"]] = oracle.scene_quadkeys(sc, 8)
+    for s in scene_records:
+        sq = oracle.scene_quadkeys(s, 8)
+        for fid, qs in vq.items():
+            for qk in sq & qs:
+                exp.add((qk, s["image_id"], fid))
+    assert got == exp
