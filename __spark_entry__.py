@@ -1,38 +1,914 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator inventory (SURVEY.md §2 +
+the training-data pipeline ops) over the driver's parquet tables;
+``oracle_sql()`` holds the ANSI-SQL twin of each query for the DuckDB
+side-by-side check. Geospatial kernels run on DETERMINISTIC DERIVED
+coordinates (integer arithmetic on keys → exact float64 in both
+engines), so the mercator/quadkey/PIP/haversine math itself is what the
+oracle verifies. Mosaic-build / image ops that SQL can't express are
+exposed as rows-only entries (their byte-level oracle lives in
+tests/golden + tests/oracle.py).
 """
 
-from __future__ import annotations
-
+import os
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mosaic_engine import annops, textops
+from mosaic_engine.textops import P, POW31, token_code_sql
+
+LL_EPSILON = 1e-11
+Z_TILE = 8
+Z_ANTI = 6
 
 
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# deterministic derived coordinates (identical integer→float arithmetic in
+# Spark and DuckDB; offsets keep points off tile boundaries & clamp zones)
+# --------------------------------------------------------------------------
+def _event_points(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        ((F.pmod(F.col("event_id") * 7919, F.lit(36000))) / 100.0 - 180.0 + 0.005).alias("lon"),
+        ((F.pmod(F.col("event_id") * 104729, F.lit(16900))) / 100.0 - 84.5 + 0.005).alias("lat"),
+    )
+
+
+EVENT_POINTS_SQL = (
+    "SELECT event_id, "
+    "((event_id * 7919) % 36000) / CAST(100.0 AS DOUBLE) - 180.0 + 0.005 AS lon, "
+    "((event_id * 104729) % 16900) / CAST(100.0 AS DOUBLE) - 84.5 + 0.005 AS lat "
+    "FROM events"
+)
+
+
+def _customer_points(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        ((F.pmod(F.col("c_custkey") * 3571, F.lit(34000))) / 100.0 - 170.0 + 0.003).alias("px"),
+        ((F.pmod(F.col("c_custkey") * 7919, F.lit(16000))) / 100.0 - 80.0 + 0.003).alias("py"),
+    )
+
+
+CUSTOMER_POINTS_SQL = (
+    "SELECT c_custkey, c_nationkey, "
+    "((c_custkey * 3571) % 34000) / CAST(100.0 AS DOUBLE) - 170.0 + 0.003 AS px, "
+    "((c_custkey * 7919) % 16000) / CAST(100.0 AS DOUBLE) - 80.0 + 0.003 AS py "
+    "FROM customer"
+)
+
+
+def _tile_sql(lon: str, lat: str, z: int, out_x: str, out_y: str) -> str:
+    """SQL twin of tilemath.lonlat_to_tile (mercantile semantics)."""
+    z2 = 1 << z
+    return (
+        f"least(CASE WHEN ({lon})/360.0 + 0.5 <= 0 THEN 0 "
+        f"WHEN ({lon})/360.0 + 0.5 >= 1 THEN {z2 - 1} "
+        f"ELSE CAST(floor((({lon})/360.0 + 0.5 + 1e-14) * {z2}) AS BIGINT) END, {z2 - 1}) AS {out_x}, "
+        f"least(CASE WHEN 0.5 - 0.25 * ln((1.0 + sin(radians({lat}))) / (1.0 - sin(radians({lat})))) / pi() <= 0 THEN 0 "
+        f"WHEN 0.5 - 0.25 * ln((1.0 + sin(radians({lat}))) / (1.0 - sin(radians({lat})))) / pi() >= 1 THEN {z2 - 1} "
+        f"ELSE CAST(floor((0.5 - 0.25 * ln((1.0 + sin(radians({lat}))) / (1.0 - sin(radians({lat})))) / pi() + 1e-14) * {z2}) AS BIGINT) END, {z2 - 1}) AS {out_y}"
+    )
+
+
+def _quadkey_sql(x: str, y: str, z: int) -> str:
+    digits = " || ".join(
+        f"CAST((({x} >> {z - i}) & 1) + 2 * (({y} >> {z - i}) & 1) AS VARCHAR)"
+        for i in range(1, z + 1)
+    )
+    return f"({digits})"
+
+
+def _tile_udf_cols(spark):
+    from mosaic_engine.udfs import make_scalar_udfs
+
+    return make_scalar_udfs()
+
+
+def _tile_assign_df(spark, sf_dir, z=Z_TILE, source="events"):
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from mosaic_engine import tilemath as tm
+
+    @pandas_udf(T.StructType([
+        T.StructField("tx", T.LongType()),
+        T.StructField("ty", T.LongType()),
+    ]))
+    def tile_xy(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        xs, ys = tm.lonlat_to_tile(lon.to_numpy(), lat.to_numpy(), z)
+        return pd.DataFrame({"tx": xs, "ty": ys})
+
+    u = _tile_udf_cols(spark)
+    pts = _event_points(spark, sf_dir) if source == "events" else None
+    d = pts.withColumn("t", tile_xy("lon", "lat")).select(
+        "event_id", "lon", "lat", F.col("t.tx").alias("tx"), F.col("t.ty").alias("ty")
+    )
+    return d.withColumn("quadkey", u["tile_quadkey"]("tx", "ty", F.lit(z)))
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+def q_geo_tile_assign(spark, sf_dir):
+    return _tile_assign_df(spark, sf_dir).select("event_id", "tx", "ty", "quadkey")
+
+
+def sql_geo_tile_assign():
+    return (
+        f"WITH pts AS ({EVENT_POINTS_SQL}), "
+        f"t AS (SELECT event_id, {_tile_sql('lon', 'lat', Z_TILE, 'tx', 'ty')} FROM pts) "
+        f"SELECT event_id, tx, ty, {_quadkey_sql('tx', 'ty', Z_TILE)} AS quadkey FROM t"
+    )
+
+
+def q_geo_quadkey_agg(spark, sf_dir):
+    d = _tile_assign_df(spark, sf_dir)
+    return d.groupBy("quadkey").agg(
+        F.count("*").alias("n_points"),
+        F.min("event_id").alias("min_event"),
+        F.max("event_id").alias("max_event"),
+    )
+
+
+def sql_geo_quadkey_agg():
+    return (
+        f"WITH pts AS ({EVENT_POINTS_SQL}), "
+        f"t AS (SELECT event_id, {_tile_sql('lon', 'lat', Z_TILE, 'tx', 'ty')} FROM pts) "
+        f"SELECT {_quadkey_sql('tx', 'ty', Z_TILE)} AS quadkey, "
+        f"count(*) AS n_points, min(event_id) AS min_event, max(event_id) AS max_event "
+        f"FROM t GROUP BY 1"
+    )
+
+
+def q_geo_cover_count(spark, sf_dir):
+    """Bbox → web-mercator tile-cover size (G2 cover_ranges kernel)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from mosaic_engine import tilemath as tm
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        ((F.pmod(F.col("p_partkey") * 7, F.lit(300))) - 160.0 + 0.001).alias("w"),
+        ((F.pmod(F.col("p_partkey") * 13, F.lit(120))) - 65.0 + 0.001).alias("s"),
+    ).select(
+        "p_partkey", "w", "s",
+        (F.col("w") + 3.7).alias("e"), (F.col("s") + 2.9).alias("n"),
+    )
+
+    @pandas_udf(T.LongType())
+    def cover_count(w: pd.Series, s: pd.Series, e: pd.Series, n: pd.Series) -> pd.Series:
+        x0, x1, y0, y1 = tm.cover_ranges(
+            w.to_numpy(), s.to_numpy(), e.to_numpy(), n.to_numpy(), Z_TILE
+        )
+        return pd.Series((x1 - x0 + 1) * (y1 - y0 + 1))
+
+    return part.select(
+        "p_partkey", cover_count("w", "s", "e", "n").alias("n_tiles")
+    )
+
+
+def sql_geo_cover_count():
+    return (
+        "WITH b AS (SELECT p_partkey, "
+        "((p_partkey * 7) % 300) - CAST(160.0 AS DOUBLE) + 0.001 AS w, "
+        "((p_partkey * 13) % 120) - CAST(65.0 AS DOUBLE) + 0.001 AS s, "
+        "((p_partkey * 7) % 300) - CAST(160.0 AS DOUBLE) + 0.001 + 3.7 AS e, "
+        "((p_partkey * 13) % 120) - CAST(65.0 AS DOUBLE) + 0.001 + 2.9 AS n FROM part), "
+        f"ul AS (SELECT p_partkey, {_tile_sql('w', 'n', Z_TILE, 'x0', 'y0')} FROM b), "
+        f"lr AS (SELECT p_partkey, {_tile_sql(f'e - {LL_EPSILON}', f's + {LL_EPSILON}', Z_TILE, 'x1', 'y1')} FROM b) "
+        "SELECT ul.p_partkey AS p_partkey, (x1 - x0 + 1) * (y1 - y0 + 1) AS n_tiles "
+        "FROM ul JOIN lr ON ul.p_partkey = lr.p_partkey"
+    )
+
+
+def q_geo_bbox_filter(spark, sf_dir):
+    """F1 bbox-intersect predicate (Catalyst pushdown path)."""
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        ((F.pmod(F.col("p_partkey") * 7, F.lit(300))) - 160.0 + 0.001).alias("min_lon"),
+        ((F.pmod(F.col("p_partkey") * 13, F.lit(120))) - 65.0 + 0.001).alias("min_lat"),
+    ).select(
+        "p_partkey", "min_lon", "min_lat",
+        (F.col("min_lon") + 3.7).alias("max_lon"),
+        (F.col("min_lat") + 2.9).alias("max_lat"),
+    )
+    w, s, e, n = -60.0, -10.0, 40.0, 35.0
+    return part.filter(
+        (F.col("min_lon") < e) & (F.col("max_lon") > w)
+        & (F.col("min_lat") < n) & (F.col("max_lat") > s)
+    )
+
+
+def sql_geo_bbox_filter():
+    return (
+        "WITH b AS (SELECT p_partkey, "
+        "((p_partkey * 7) % 300) - CAST(160.0 AS DOUBLE) + 0.001 AS min_lon, "
+        "((p_partkey * 13) % 120) - CAST(65.0 AS DOUBLE) + 0.001 AS min_lat, "
+        "((p_partkey * 7) % 300) - CAST(160.0 AS DOUBLE) + 0.001 + 3.7 AS max_lon, "
+        "((p_partkey * 13) % 120) - CAST(65.0 AS DOUBLE) + 0.001 + 2.9 AS max_lat FROM part) "
+        "SELECT * FROM b WHERE min_lon < 40.0 AND max_lon > -60.0 "
+        "AND min_lat < 35.0 AND max_lat > -10.0"
+    )
+
+
+def q_geo_anti_join(spark, sf_dir):
+    """J5 anti join: event quadkeys not covered by customer quadkeys (z6)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from mosaic_engine import tilemath as tm
+
+    @pandas_udf(T.StringType())
+    def qk6(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        xs, ys = tm.lonlat_to_tile(lon.to_numpy(), lat.to_numpy(), Z_ANTI)
+        return pd.Series(tm.tile_to_quadkey(xs, ys, Z_ANTI))
+
+    ev = _event_points(spark, sf_dir).select(qk6("lon", "lat").alias("quadkey")).distinct()
+    cu = _customer_points(spark, sf_dir).select(
+        qk6("px", "py").alias("quadkey")
+    ).distinct()
+    return ev.join(cu, "quadkey", "left_anti")
+
+
+def sql_geo_anti_join():
+    ev = (
+        f"SELECT DISTINCT {_quadkey_sql('tx', 'ty', Z_ANTI)} AS quadkey FROM "
+        f"(SELECT {_tile_sql('lon', 'lat', Z_ANTI, 'tx', 'ty')} FROM ({EVENT_POINTS_SQL}))"
+    )
+    cu = (
+        f"SELECT DISTINCT {_quadkey_sql('tx', 'ty', Z_ANTI)} AS quadkey FROM "
+        f"(SELECT {_tile_sql('px', 'py', Z_ANTI, 'tx', 'ty')} FROM ({CUSTOMER_POINTS_SQL}))"
+    )
+    return f"SELECT quadkey FROM ({ev}) WHERE quadkey NOT IN ({cu})"
+
+
+def q_geo_pip(spark, sf_dir):
+    """G8 point-in-polygon: customer points vs their nation's ring."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from mosaic_engine import geometry as geo
+
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        ((F.pmod(F.col("n_nationkey") * 15, F.lit(300))) - 160.0).alias("x0"),
+        ((F.pmod(F.col("n_nationkey") * 7, F.lit(100))) - 50.0).alias("y0"),
+    )
+    pts = _customer_points(spark, sf_dir).join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+
+    @pandas_udf(T.BooleanType())
+    def pip(px: pd.Series, py: pd.Series, x0: pd.Series, y0: pd.Series) -> pd.Series:
+        x0v = x0.to_numpy(np.float64)
+        y0v = y0.to_numpy(np.float64)
+        xs = [
+            np.array([x, x + 8.0, x + 9.5, x + 1.5, x]) for x in x0v
+        ]
+        ys = [
+            np.array([y, y, y + 6.0, y + 6.0, y]) for y in y0v
+        ]
+        RX, RY, nv = geo.pad_rings(xs, ys)
+        return pd.Series(
+            geo.points_in_polys(px.to_numpy(np.float64), py.to_numpy(np.float64), RX, RY)
+        )
+
+    return pts.select(
+        "c_custkey", pip("px", "py", "x0", "y0").alias("inside")
+    )
+
+
+def sql_geo_pip():
+    # ring: (x0,y0) (x0+8,y0) (x0+9.5,y0+6) (x0+1.5,y0+6) (x0,y0)
+    edges = [
+        ("x0", "y0", "x0 + 8.0", "y0"),
+        ("x0 + 8.0", "y0", "x0 + 9.5", "y0 + 6.0"),
+        ("x0 + 9.5", "y0 + 6.0", "x0 + 1.5", "y0 + 6.0"),
+        ("x0 + 1.5", "y0 + 6.0", "x0", "y0"),
+    ]
+    terms = " + ".join(
+        f"(CASE WHEN (({y1} > py) <> ({y2} > py)) AND "
+        f"(px < ({x2} - ({x1})) * (py - ({y1})) / (({y2}) - ({y1})) + ({x1})) "
+        f"THEN 1 ELSE 0 END)"
+        for (x1, y1, x2, y2) in edges
+    )
+    return (
+        f"WITH pts AS ({CUSTOMER_POINTS_SQL}), "
+        "rings AS (SELECT n_nationkey, "
+        "((n_nationkey * 15) % 300) - CAST(160.0 AS DOUBLE) AS x0, "
+        "((n_nationkey * 7) % 100) - CAST(50.0 AS DOUBLE) AS y0 FROM nation) "
+        f"SELECT c_custkey, (({terms}) % 2) = 1 AS inside "
+        "FROM pts JOIN rings ON c_nationkey = n_nationkey"
+    )
+
+
+def q_geo_knn_brute(spark, sf_dir):
+    """J3 exact kNN: 3 nearest customer points per supplier point."""
+    from mosaic_engine.udfs import make_scalar_udfs
+
+    u = make_scalar_udfs()
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.pmod(F.col("s_suppkey") * 4409, F.lit(34000))) / 100.0 - 170.0 + 0.007).alias("qx"),
+        ((F.pmod(F.col("s_suppkey") * 6397, F.lit(16000))) / 100.0 - 80.0 + 0.007).alias("qy"),
+    )
+    # the fact table side of the cross join must be spread across cores
+    # (driver parquet is a single small file → 1 input partition)
+    c = _customer_points(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    scored = c.crossJoin(F.broadcast(s)).withColumn(
+        "dist_m", u["haversine_m"]("qx", "qy", "px", "py")
+    )
+    # two-phase salted top-k: local top-3 per (key, salt) bounds the data
+    # entering the final per-key merge (no giant per-key arrays at scale)
+    phase1 = scored.withColumn(
+        "salt", F.pmod(F.col("c_custkey"), F.lit(16))
+    ).groupBy("s_suppkey", "salt").agg(
+        F.slice(
+            F.sort_array(F.collect_list(F.struct("dist_m", "c_custkey"))), 1, 3
+        ).alias("part")
+    )
+    topk = phase1.groupBy("s_suppkey").agg(
+        F.slice(F.sort_array(F.flatten(F.collect_list("part"))), 1, 3).alias("nn")
+    )
+    return topk.select("s_suppkey", F.posexplode("nn").alias("pos", "nn")).select(
+        "s_suppkey",
+        (F.col("pos") + 1).alias("rank"),
+        F.col("nn.c_custkey").alias("c_custkey"),
+        F.round(F.col("nn.dist_m"), 3).alias("dist_m"),
+    )
+
+
+def sql_geo_knn_brute():
+    hav = (
+        "2.0 * 6371008.8 * asin(sqrt(least("
+        "sin(radians(py - qy) / 2.0) * sin(radians(py - qy) / 2.0) + "
+        "cos(radians(qy)) * cos(radians(py)) * "
+        "sin(radians(px - qx) / 2.0) * sin(radians(px - qx) / 2.0), 1.0)))"
+    )
+    return (
+        "WITH s AS (SELECT s_suppkey, "
+        "((s_suppkey * 4409) % 34000) / CAST(100.0 AS DOUBLE) - 170.0 + 0.007 AS qx, "
+        "((s_suppkey * 6397) % 16000) / CAST(100.0 AS DOUBLE) - 80.0 + 0.007 AS qy FROM supplier), "
+        f"c AS ({CUSTOMER_POINTS_SQL}), "
+        f"d AS (SELECT s_suppkey, c_custkey, {hav} AS dist_m FROM s CROSS JOIN c), "
+        "r AS (SELECT s_suppkey, c_custkey, dist_m, "
+        "row_number() OVER (PARTITION BY s_suppkey ORDER BY dist_m, c_custkey) AS rank "
+        "FROM d) "
+        "SELECT s_suppkey, rank, c_custkey, round(dist_m, 3) AS dist_m "
+        "FROM r WHERE rank <= 3"
+    )
+
+
+# ------------------------------------------------------------ text / dedup
+def q_dedup_exact(spark, sf_dir):
+    return textops.dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+def sql_dedup_exact():
+    return (
+        "SELECT min(doc_id) AS canonical_id, count(*) AS n_copies "
+        "FROM documents GROUP BY text"
+    )
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return textops.minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+def sql_minhash_signatures():
+    code = token_code_sql("token")
+    mins = ", ".join(
+        f"min(({a} * {code} + {b}) % {P}) AS mh{j}"
+        for j, (a, b) in enumerate(textops.MINHASH_AB)
+    )
+    return f"SELECT doc_id, {mins} FROM ({textops.TOKENS_SQL}) GROUP BY doc_id"
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return textops.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+def sql_minhash_lsh_pairs():
+    sig = sql_minhash_signatures()
+    rpb = textops.ROWS_PER_BAND
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || '_' || ".join(
+            f"CAST(mh{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+        )
+        + " AS bsig FROM sig"
+        for b in range(textops.LSH_BANDS)
+    )
+    return (
+        f"WITH sig AS ({sig}), banded AS ({bands}) "
+        "SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b "
+        "FROM banded l JOIN banded r ON l.band = r.band AND l.bsig = r.bsig "
+        "AND l.doc_id < r.doc_id"
+    )
+
+
+def q_simhash(spark, sf_dir):
+    return textops.simhash(_t(spark, sf_dir, "documents"))
+
+
+def sql_simhash():
+    code = token_code_sql("token")
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (({code} >> {k}) & 1) = 1 THEN cnt ELSE -cnt END) AS s{k}"
+        for k in range(textops.SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{k} > 0 THEN {1 << k} ELSE 0 END)"
+        for k in range(textops.SIMHASH_BITS)
+    )
+    return (
+        f"WITH tc AS (SELECT doc_id, token, count(*) AS cnt "
+        f"FROM ({textops.TOKENS_SQL}) GROUP BY doc_id, token), "
+        f"bs AS (SELECT doc_id, {bit_sums} FROM tc GROUP BY doc_id) "
+        f"SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bs"
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return textops.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=4, min_jaccard=0.15
+    )
+
+
+def sql_ngram_jaccard():
+    return (
+        "WITH g AS (SELECT DISTINCT doc_id, substr(lower(text), i, 4) AS gram "
+        "FROM documents, unnest(range(1, greatest(length(lower(text)) - 3, 0) + 1)) AS t(i)), "
+        "sz AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id), "
+        "k AS (SELECT doc_id, lang, source FROM documents), "
+        "gk AS (SELECT g.doc_id, gram, lang, source FROM g JOIN k ON g.doc_id = k.doc_id), "
+        "inter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_inter "
+        "FROM gk l JOIN gk r ON l.gram = r.gram AND l.lang = r.lang "
+        "AND l.source = r.source AND l.doc_id < r.doc_id "
+        "GROUP BY l.doc_id, r.doc_id) "
+        "SELECT doc_a, doc_b, "
+        "CAST(n_inter AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - n_inter AS DOUBLE) AS jaccard "
+        "FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id "
+        "WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - n_inter AS DOUBLE) >= 0.15"
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    return textops.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def sql_lang_id():
+    counts = ", ".join(
+        "sum(CASE WHEN token IN ({}) THEN 1 ELSE 0 END) AS c_{}".format(
+            ", ".join(f"'{m}'" for m in ms), lg
+        )
+        for lg, ms in textops.LANG_MARKERS.items()
+    )
+    langs = list(textops.LANG_MARKERS)
+    pred = f"'{langs[0]}'"
+    best = f"c_{langs[0]}"
+    for lg in langs[1:]:
+        pred = f"CASE WHEN c_{lg} > {best} THEN '{lg}' ELSE {pred} END"
+        best = f"CASE WHEN c_{lg} > {best} THEN c_{lg} ELSE {best} END"
+    return (
+        f"WITH t AS ({textops.TOKENS_SQL}), "
+        f"c AS (SELECT doc_id, {counts} FROM t GROUP BY doc_id), "
+        f"p AS (SELECT doc_id, {pred} AS pred_lang, {best} AS n_markers FROM c) "
+        "SELECT d.doc_id AS doc_id, pred_lang, n_markers, "
+        "(pred_lang = d.lang) AS match_meta "
+        "FROM documents d JOIN p ON d.doc_id = p.doc_id"
+    )
+
+
+def q_quality(spark, sf_dir):
+    return textops.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def sql_quality():
+    stop = ", ".join(f"'{s}'" for s in textops.STOPWORDS)
+    return (
+        f"WITH t AS ({textops.TOKENS_SQL}), "
+        "ts AS (SELECT doc_id, count(*) AS n_tokens, "
+        "sum(length(token)) AS tok_chars, "
+        f"sum(CASE WHEN token IN ({stop}) THEN 1 ELSE 0 END) AS n_stop "
+        "FROM t GROUP BY doc_id), "
+        "b AS (SELECT doc_id, length(text) AS n_chars_txt, "
+        "length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS n_punct "
+        "FROM documents) "
+        "SELECT b.doc_id AS doc_id, n_tokens, "
+        "CAST(tok_chars AS DOUBLE) / n_tokens AS mean_tok_len, "
+        "CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio, "
+        "CAST(n_punct AS DOUBLE) / n_chars_txt AS punct_ratio, "
+        "least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 "
+        "+ (CAST(n_stop AS DOUBLE) / n_tokens) * 0.4 "
+        "+ (1.0 - CAST(n_punct AS DOUBLE) / n_chars_txt) * 0.2 AS quality "
+        "FROM b JOIN ts ON b.doc_id = ts.doc_id"
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    return textops.token_stats(_t(spark, sf_dir, "documents"))
+
+
+def sql_token_stats():
+    return (
+        f"WITH t AS ({textops.TOKENS_SQL}) "
+        "SELECT source, count(*) AS n_tokens, "
+        "count(DISTINCT token) AS n_vocab, avg(length(token)) AS mean_len "
+        "FROM t JOIN documents USING (doc_id) GROUP BY source"
+    )
+
+
+def q_fingerprint(spark, sf_dir):
+    return textops.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def sql_fingerprint():
+    code = token_code_sql("token")
+    return (
+        f"WITH t AS (SELECT DISTINCT doc_id, {code} AS code "
+        f"FROM ({textops.TOKENS_SQL})) "
+        f"SELECT doc_id, sum(code) % {P} AS fingerprint, "
+        "count(*) AS n_distinct_tokens FROM t GROUP BY doc_id"
+    )
+
+
+# ------------------------------------------------------------- embeddings
+QUANT_SQL = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))"
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    return annops.cosine_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def _ann_topk_sql(bucketed: bool) -> str:
+    planes = ", ".join(
+        "[" + ", ".join(str(v) for v in row) + "]" for row in annops.PLANES
+    )
+    bucket = (
+        "(" + " + ".join(
+            f"(CASE WHEN list_dot_product(q, CAST(w{j} AS BIGINT[])) >= 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(annops.N_PLANES)
+        ) + ")"
+    )
+    wdefs = ", ".join(
+        f"[{', '.join(str(v) for v in row)}] AS w{j}"
+        for j, row in enumerate(annops.PLANES)
+    )
+    base = (
+        f"SELECT vec_id, label, {QUANT_SQL} AS q, "
+        f"list_dot_product({QUANT_SQL}, {QUANT_SQL}) AS norm2 FROM embeddings"
+    )
+    if bucketed:
+        base_b = (
+            f"SELECT vec_id, label, q, norm2, {bucket} AS bucket "
+            f"FROM (SELECT *, {wdefs} FROM base)"
+        )
+        join_cond = "b.bucket = qs.bucket AND b.vec_id <> qs.query_id"
+    else:
+        base_b = "SELECT vec_id, label, q, norm2, 0 AS bucket FROM base"
+        join_cond = "b.vec_id <> qs.query_id"
+    return (
+        f"WITH base AS ({base}), bb AS ({base_b}), "
+        "qs AS (SELECT vec_id AS query_id, q AS qq, norm2 AS qn2, bucket "
+        "FROM bb WHERE vec_id < 10), "
+        "scored AS (SELECT qs.query_id, b.vec_id, "
+        "CAST(list_dot_product(b.q, qs.qq) AS DOUBLE) / "
+        "(sqrt(CAST(b.norm2 AS DOUBLE)) * sqrt(CAST(qs.qn2 AS DOUBLE))) AS score "
+        f"FROM bb b JOIN qs ON {join_cond}), "
+        "r AS (SELECT query_id, vec_id, score, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank "
+        "FROM scored) "
+        "SELECT query_id, rank, vec_id AS neighbor_id, score FROM r WHERE rank <= 5"
+    )
+
+
+def sql_ann_cosine_topk():
+    return _ann_topk_sql(bucketed=False)
+
+
+def q_ann_lsh_buckets(spark, sf_dir):
+    return annops.lsh_buckets(_t(spark, sf_dir, "embeddings"))
+
+
+def sql_ann_lsh_buckets():
+    wdefs = ", ".join(
+        f"[{', '.join(str(v) for v in row)}] AS w{j}"
+        for j, row in enumerate(annops.PLANES)
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(q, CAST(w{j} AS BIGINT[])) >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(annops.N_PLANES)
+    )
+    return (
+        f"WITH base AS (SELECT vec_id, label, {QUANT_SQL} AS q FROM embeddings) "
+        f"SELECT vec_id, label, CAST({bucket} AS INT) AS bucket "
+        f"FROM (SELECT *, {wdefs} FROM base)"
+    )
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    return annops.ann_lsh_topk(_t(spark, sf_dir, "embeddings"))
+
+
+def sql_ann_lsh_topk():
+    return _ann_topk_sql(bucketed=True)
+
+
+def q_embed_neardup(spark, sf_dir):
+    return annops.neardup_pairs(_t(spark, sf_dir, "embeddings"), min_score=0.2)
+
+
+def sql_embed_neardup():
+    return (
+        f"WITH base AS (SELECT vec_id, label, {QUANT_SQL} AS q, "
+        f"list_dot_product({QUANT_SQL}, {QUANT_SQL}) AS norm2 FROM embeddings) "
+        "SELECT l.vec_id AS vec_a, r.vec_id AS vec_b, "
+        "CAST(list_dot_product(l.q, r.q) AS DOUBLE) / "
+        "(sqrt(CAST(l.norm2 AS DOUBLE)) * sqrt(CAST(r.norm2 AS DOUBLE))) AS score "
+        "FROM base l JOIN base r ON l.label = r.label AND l.vec_id < r.vec_id "
+        "WHERE CAST(list_dot_product(l.q, r.q) AS DOUBLE) / "
+        "(sqrt(CAST(l.norm2 AS DOUBLE)) * sqrt(CAST(r.norm2 AS DOUBLE))) >= 0.2"
+    )
+
+
+# -------------------------------------------------------------- relational
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def sql_tpch_q1():
+    return (
+        "SELECT l_returnflag, l_linestatus, "
+        "round(sum(l_quantity), 2) AS sum_qty, "
+        "round(sum(l_extendedprice), 2) AS sum_base_price, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus"
+    )
+
+
+def q_tpch_q3(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def sql_tpch_q3():
+    return (
+        "SELECT o_orderkey, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10"
+    )
+
+
+def q_tpch_q5ish(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def sql_tpch_q5ish():
+    return (
+        "SELECT r_name, n_name, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, "
+        "count(*) AS n_items "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY r_name, n_name"
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def sql_events_hourly():
+    return (
+        "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, "
+        "event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value "
+        "FROM events GROUP BY 1, 2"
+    )
+
+
+def q_events_props(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", "([0-9]+)", 1).cast("int").alias("k_val"),
+    )
+
+
+def sql_events_props():
+    return (
+        "SELECT event_id, CAST(regexp_extract(props, '([0-9]+)', 1) AS INT) AS k_val "
+        "FROM events"
+    )
+
+
+def q_window_topk_orders(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "rank", "o_orderkey", "o_totalprice")
+    )
+
+
+def sql_window_topk_orders():
+    return (
+        "SELECT o_custkey, rank, o_orderkey, o_totalprice FROM ("
+        "SELECT o_custkey, o_orderkey, o_totalprice, "
+        "row_number() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey) AS rank FROM orders) "
+        "WHERE rank <= 3"
+    )
+
+
+# -------------------------------------------- engine-native (rows-only)
+_FIXTURE_CACHE: dict[str, str] = {}
+
+
+def _engine_scenes(spark):
+    """Deterministic synthetic scenes parquet (cached per process)."""
+    if "scenes" not in _FIXTURE_CACHE:
+        import tempfile
+
+        from mosaic_engine import datagen
+
+        d = tempfile.mkdtemp(prefix="entry_fixtures_")
+        datagen.write_parquet(
+            datagen.gen_scenes(n_scenes=150, paths=6, rows=6, seed=42),
+            os.path.join(d, "scenes.parquet"),
+        )
+        _FIXTURE_CACHE["scenes"] = os.path.join(d, "scenes.parquet")
+    return spark.read.parquet(_FIXTURE_CACHE["scenes"])
+
+
+def q_mosaic_assignments(spark, sf_dir):
+    """Flagship mosaic pipeline (rows-only: oracle = tests/golden)."""
+    from mosaic_engine import mosaic as mz
+    from mosaic_engine import ops
+
+    cfg = ops.MosaicConfig(quadkey_zoom=7, optimized_selection=True)
+    assign = mz.quadkey_assignments(_engine_scenes(spark), cfg)
+    return ops.assignments_relational(assign)
+
+
+def q_multimodal_image_check(spark, sf_dir):
+    """Image payload invariants (rows-only: binary ops not in SQL)."""
+    from mosaic_engine import udfs
+
+    return udfs.image_invariants(_engine_scenes(spark)).select(
+        "image_id", "decode_ok", "phash_match", "caption_ok"
+    )
+
+
+# --------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: derived-point tile
+    assignment + per-quadkey aggregation (the engine's A1 shape)."""
+    return q_geo_quadkey_agg(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "geo_tile_assign": q_geo_tile_assign,
+        "geo_quadkey_agg": q_geo_quadkey_agg,
+        "geo_cover_count": q_geo_cover_count,
+        "geo_bbox_filter": q_geo_bbox_filter,
+        "geo_anti_join": q_geo_anti_join,
+        "geo_pip": q_geo_pip,
+        "geo_knn_brute": q_geo_knn_brute,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_signatures": q_minhash_signatures,
+        "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_simhash": q_simhash,
+        "dedup_ngram_jaccard": q_ngram_jaccard,
+        "text_lang_id": q_lang_id,
+        "text_quality": q_quality,
+        "text_token_stats": q_token_stats,
+        "text_fingerprint": q_fingerprint,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_buckets": q_ann_lsh_buckets,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "embed_neardup": q_embed_neardup,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5ish": q_tpch_q5ish,
+        "events_hourly": q_events_hourly,
+        "events_props": q_events_props,
+        "window_topk_orders": q_window_topk_orders,
+        "mosaic_assignments": q_mosaic_assignments,
+        "multimodal_image_check": q_multimodal_image_check,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "geo_tile_assign": sql_geo_tile_assign(),
+        "geo_quadkey_agg": sql_geo_quadkey_agg(),
+        "geo_cover_count": sql_geo_cover_count(),
+        "geo_bbox_filter": sql_geo_bbox_filter(),
+        "geo_anti_join": sql_geo_anti_join(),
+        "geo_pip": sql_geo_pip(),
+        "geo_knn_brute": sql_geo_knn_brute(),
+        "dedup_exact": sql_dedup_exact(),
+        "dedup_minhash_signatures": sql_minhash_signatures(),
+        "dedup_minhash_lsh_pairs": sql_minhash_lsh_pairs(),
+        "dedup_simhash": sql_simhash(),
+        "dedup_ngram_jaccard": sql_ngram_jaccard(),
+        "text_lang_id": sql_lang_id(),
+        "text_quality": sql_quality(),
+        "text_token_stats": sql_token_stats(),
+        "text_fingerprint": sql_fingerprint(),
+        "ann_cosine_topk": sql_ann_cosine_topk(),
+        "ann_lsh_buckets": sql_ann_lsh_buckets(),
+        "ann_lsh_topk": sql_ann_lsh_topk(),
+        "embed_neardup": sql_embed_neardup(),
+        "tpch_q1": sql_tpch_q1(),
+        "tpch_q3": sql_tpch_q3(),
+        "tpch_q5ish": sql_tpch_q5ish(),
+        "events_hourly": sql_events_hourly(),
+        "events_props": sql_events_props(),
+        "window_topk_orders": sql_window_topk_orders(),
+        # mosaic_assignments / multimodal_image_check: rows-only by design
+    }

@@ -1,0 +1,122 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the flagship
+mosaic build over a cached deterministic synthetic scenes table
+(N_SCENES, no payloads). Output:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "tiles_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+N_SCENES = int(os.environ.get("BENCH_SCENES", "100000"))
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+
+def bench_scenes_path() -> str:
+    os.makedirs(CACHE, exist_ok=True)
+    path = os.path.join(CACHE, f"scenes_{N_SCENES}.parquet")
+    if not os.path.exists(path):
+        from mosaic_engine import datagen
+
+        # 50x20 grid keeps footprints inside valid latitudes (25..61°N)
+        t = datagen.gen_scenes(
+            n_scenes=N_SCENES, paths=50, rows=20, seed=42, payload=False
+        )
+        datagen.write_parquet(t, path)
+    return path
+
+
+def main():
+    import __spark_entry__ as entrymod
+    from mosaic_engine import mosaic as mz
+    from mosaic_engine import ops
+    from mosaic_engine.job import make_session
+
+    scenes_path = bench_scenes_path()
+    spark = make_session(
+        cores=CPUS, shuffle_partitions=max(int(CPUS) * 2, 16), app="bench"
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm up the JVM + Python UDF workers so the first measured query
+    # isn't charged for process startup
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(x):
+        return x
+
+    spark.range(100_000).select(F.sum(_warm("id"))).collect()
+
+    times: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        times[name] = round(time.time() - t0, 3)
+        return out
+
+    # flagship: mosaic build (assignment count == produced tile rows).
+    # repartition: the cached fixture is ONE parquet file (< one split);
+    # real inputs arrive as many files, so spread it across the cores.
+    scenes = spark.read.parquet(scenes_path).repartition(int(CPUS) * 4)
+    cfg = ops.MosaicConfig(quadkey_zoom=8, optimized_selection=False)
+
+    def mosaic_build():
+        assign = mz.quadkey_assignments(scenes, cfg)
+        return assign.agg({"n_assets": "sum", "quadkey": "count"}).collect()[0]
+
+    row = timed("mosaic_build_synthetic", mosaic_build)
+    n_assign = int(row["sum(n_assets)"] or 0)
+    extras["n_scenes"] = N_SCENES
+    extras["n_assignments"] = n_assign
+    extras["tiles_per_sec"] = round(n_assign / times["mosaic_build_synthetic"], 1)
+
+    # driver-table headline queries
+    qs = entrymod.queries()
+    for name in (
+        "geo_tile_assign",
+        "geo_quadkey_agg",
+        "geo_knn_brute",
+        "dedup_minhash_lsh_pairs",
+        "dedup_simhash",
+        "text_fingerprint",
+        "ann_cosine_topk",
+        "ann_lsh_topk",
+        "tpch_q1",
+        "tpch_q3",
+    ):
+        timed(name, lambda n=name: qs[n](spark, SF_DIR).count())
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time (mosaic build + geo/dedup/ann/tpch suite)",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "cores": int(CPUS),
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

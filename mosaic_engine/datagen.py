@@ -200,6 +200,74 @@ def gen_scenes(
     return pa.Table.from_pydict(cols, schema=schema)
 
 
+def gen_scenes_bulk(
+    n_scenes: int,
+    paths: int = 50,
+    rows: int = 20,
+    seed: int = 42,
+) -> pa.Table:
+    """Fully vectorized scenes generator for BENCH scale (no payloads,
+    no edge cases — same schema as gen_scenes). 10M scenes ≈ seconds."""
+    rng = np.random.default_rng(seed)
+    lon_base, lat_base = -130.0, 25.0
+    dlon, dlat = 2.0, 1.8
+    n = n_scenes
+
+    p = rng.integers(1, paths + 1, n)
+    r = rng.integers(1, rows + 1, n)
+    lon0 = lon_base + (p - 1) * dlon + rng.uniform(-0.1, 0.1, n)
+    lat0 = lat_base + (r - 1) * dlat + rng.uniform(-0.1, 0.1, n)
+    acq_days = rng.integers(0, 1096, n)
+    acq = np.datetime64("2019-01-01") + acq_days.astype("timedelta64[D]")
+    cloud = np.round(rng.uniform(0, 100, n), 2)
+    idx = np.arange(n)
+
+    import pandas as pd
+
+    ids = (
+        "LC08_L1TP_"
+        + pd.Series(p).astype(str).str.zfill(3)
+        + pd.Series(r).astype(str).str.zfill(3)
+        + "_"
+        + pd.Series(acq.astype("datetime64[D]").astype(str)).str.replace("-", "", regex=False)
+        + "_01_T1_"
+        + pd.Series(idx).astype(str).str.zfill(8)
+    ).to_numpy(object)
+
+    width, height, skew = 2.2, 1.98, 0.55
+    ring_x = np.stack(
+        [lon0, lon0 + width, lon0 + width + skew, lon0 + skew, lon0], axis=1
+    )
+    ring_y = np.stack(
+        [lat0, lat0, lat0 + height, lat0 + height, lat0], axis=1
+    )
+    offsets = pa.array(np.arange(n + 1, dtype=np.int32) * 5)
+    fp_xs = pa.ListArray.from_arrays(offsets, pa.array(ring_x.ravel()))
+    fp_ys = pa.ListArray.from_arrays(offsets, pa.array(ring_y.ravel()))
+
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array([b""] * n, pa.binary()),
+            "w": pa.array(np.zeros(n, np.int32)),
+            "h": pa.array(np.zeros(n, np.int32)),
+            "fmt": pa.array(["none"] * n, pa.string()),
+            "caption": pa.array(ids, pa.string()),
+            "phash": pa.array(np.zeros(n, np.int64)),
+            "path": pa.array(p.astype(np.int32)),
+            "row": pa.array(r.astype(np.int32)),
+            "acquisition_date": pa.array(acq.astype("datetime64[us]")),
+            "cloud_cover": pa.array(cloud),
+            "min_lon": pa.array(ring_x.min(axis=1)),
+            "min_lat": pa.array(ring_y.min(axis=1)),
+            "max_lon": pa.array(ring_x.max(axis=1)),
+            "max_lat": pa.array(ring_y.max(axis=1)),
+            "fp_xs": fp_xs,
+            "fp_ys": fp_ys,
+        }
+    )
+
+
 def gen_land(seed: int = 42) -> pa.Table:
     """Three synthetic concave 'continent' polygons (FIXTURES.md §4)."""
     rng = np.random.default_rng(seed + 1)

@@ -78,19 +78,25 @@ def points_in_polys(px, py, RX, RY, eps: float = 1e-12):
         xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
     crosses = cond & (px < xint)
     inside = (crosses.sum(axis=1) & 1).astype(bool)
-    # inclusive boundary: point collinear with an edge and within its bbox
-    cross_prod = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
-    span = np.maximum(np.abs(x2 - x1), np.abs(y2 - y1))
-    on_line = np.abs(cross_prod) <= eps * np.maximum(span, 1.0)
-    in_seg = (
-        (px >= np.minimum(x1, x2) - eps)
-        & (px <= np.maximum(x1, x2) + eps)
-        & (py >= np.minimum(y1, y2) - eps)
-        & (py <= np.maximum(y1, y2) + eps)
-    )
-    nonzero = span > 0
-    on_boundary = (on_line & in_seg & nonzero).any(axis=1)
-    return inside | on_boundary
+    # inclusive boundary: point collinear with an edge and within its
+    # bbox. Only points NOT already inside by parity need this (the
+    # common deep-interior case skips it — it's half the kernel cost).
+    todo = ~inside
+    if todo.any():
+        x1, y1, x2, y2 = x1[todo], y1[todo], x2[todo], y2[todo]
+        pxs, pys = px[todo], py[todo]
+        cross_prod = (x2 - x1) * (pys - y1) - (y2 - y1) * (pxs - x1)
+        span = np.maximum(np.abs(x2 - x1), np.abs(y2 - y1))
+        on_line = np.abs(cross_prod) <= eps * np.maximum(span, 1.0)
+        in_seg = (
+            (pxs >= np.minimum(x1, x2) - eps)
+            & (pxs <= np.maximum(x1, x2) + eps)
+            & (pys >= np.minimum(y1, y2) - eps)
+            & (pys <= np.maximum(y1, y2) + eps)
+        )
+        on_boundary = (on_line & in_seg & (span > 0)).any(axis=1)
+        inside[todo] |= on_boundary
+    return inside
 
 
 def _segments_overlap_boxes(x1, y1, x2, y2, bw, bs, be, bn):

@@ -39,7 +39,17 @@ def make_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # min(struct)/collect_list use ObjectHashAggregate; the default
+        # 128-key fallback degrades to an external SORT of every row —
+        # pathological for our (quadkey, salt) group counts
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
     )
+    # single-node shuffle: RAM-backed local dirs avoid 32-way disk
+    # contention (real clusters give each executor its own disks)
+    if "SPARK_LOCAL_DIRS" not in os.environ and os.path.isdir("/dev/shm"):
+        shm = "/dev/shm/spark-local"
+        os.makedirs(shm, exist_ok=True)
+        b = b.config("spark.local.dir", shm)
     if not os.environ.get("SPARK_MASTER") and "SPARK_ENV_LOADED" not in os.environ:
         b = b.master(f"local[{cores}]")
     for k, v in (extra_conf or {}).items():

@@ -140,7 +140,7 @@ def optimized_dedupe(tiles: DataFrame, cfg: MosaicConfig) -> DataFrame:
     map-side, so dense quadkeys never concentrate in one task before
     reduction. Output: (quadkey, sel struct).
     """
-    return tiles.groupBy("quadkey", "path", "row").agg(
+    return tiles.groupBy("cell", "path", "row").agg(
         F.min(_sel_struct(cfg)).alias("sel")
     )
 
@@ -157,19 +157,22 @@ def assignments(tiles: DataFrame, cfg: MosaicConfig) -> DataFrame:
     if cfg.optimized_selection:
         keyed = optimized_dedupe(tiles, cfg)
     else:
-        keyed = tiles.select("quadkey", _sel_struct(cfg))
+        keyed = tiles.select("cell", _sel_struct(cfg))
     salted = keyed.withColumn(
         "salt", F.pmod(F.xxhash64(F.col("sel.image_id")), F.lit(cfg.salt_buckets))
     )
     part = F.sort_array(F.collect_list("sel"))
     part = (F.slice(part, 1, cap) if cap else part).alias("part")
-    phase1 = salted.groupBy("quadkey", "salt").agg(part)
-    merged = phase1.groupBy("quadkey").agg(
+    phase1 = salted.groupBy("cell", "salt").agg(part)
+    merged = phase1.groupBy("cell").agg(
         F.sort_array(F.flatten(F.collect_list("part"))).alias("sels")
     )
     sels = F.slice("sels", 1, cap) if cap else F.col("sels")
+    u = udfs.make_scalar_udfs()
+    # quadkey strings only materialize here — bounded by 4^quadkey_zoom
     return merged.select(
-        "quadkey",
+        "cell",
+        u["cell_quadkey"](F.col("cell")).alias("quadkey"),
         F.transform(sels, lambda s: s["image_id"]).alias("assets"),
         F.size(sels).alias("n_assets"),
     )
@@ -205,9 +208,11 @@ def missing_quadkeys(
     """E3: quadkeys under land polygons absent from the mosaic — a
     left_anti join on quadkey ([ref: missing.py#missing_quadkeys])."""
     land_qk = udfs.ring_to_quadkeys(land, zoom, "land_id").select(
-        "quadkey"
+        "cell"
     ).distinct()
-    return land_qk.join(assign.select("quadkey"), "quadkey", "left_anti")
+    miss = land_qk.join(assign.select("cell"), "cell", "left_anti")
+    u = udfs.make_scalar_udfs()
+    return miss.select(u["cell_quadkey"](F.col("cell")).alias("quadkey"))
 
 
 def coverage_quadkeys(
@@ -363,6 +368,12 @@ def raster_vector_join(
     """
     s_qk = udfs.explode_to_quadkeys(scenes, zoom, passthrough=["image_id"])
     v_qk = udfs.ring_to_quadkeys(vectors, zoom, "feature_id")
-    return s_qk.select("quadkey", "image_id").join(
-        v_qk.select("quadkey", "feature_id"), "quadkey"
+    joined = s_qk.select("cell", "image_id").join(
+        v_qk.select("cell", "feature_id"), "cell"
+    )
+    u = udfs.make_scalar_udfs()
+    return joined.select(
+        u["cell_quadkey"](F.col("cell")).alias("quadkey"),
+        "image_id",
+        "feature_id",
     )

@@ -1,0 +1,317 @@
+"""Large-scale text pipeline ops — dedup, language-ID, quality, tokens.
+
+First-class training-data-pipeline components (task brief): exact dedup,
+MinHash+LSH, SimHash, n-gram Jaccard, language-ID, quality scoring,
+token counting, document fingerprinting. Everything is built from
+pyspark.sql.functions only (JVM-side, whole-stage codegen) — no Python
+UDFs — so each op scales with partition-parallel shuffles on document
+keys and admits a literal ANSI-SQL oracle (same arithmetic in DuckDB).
+
+Determinism: token hashes are explicit polynomial hashes over the first
+HASH_PREFIX chars' code points (mod P), NOT engine-native hash
+functions (xxhash64 etc. differ across engines and versions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+P = 1_000_000_007
+HASH_PREFIX = 8
+POW31 = [pow(31, i, P) for i in range(HASH_PREFIX)]
+TOKEN_SPLIT = "[^a-z0-9']+"
+# (a, b) pairs for minhash permutations h_j(c) = (a_j * c + b_j) mod P
+MINHASH_AB = [
+    (7, 3),
+    (13, 17),
+    (31, 29),
+    (61, 47),
+    (127, 59),
+    (251, 83),
+    (509, 101),
+    (1021, 131),
+]
+LSH_BANDS = 2  # 8 hashes → 2 bands × 4 rows (selective bands)
+ROWS_PER_BAND = len(MINHASH_AB) // LSH_BANDS
+SIMHASH_BITS = 16
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+LANG_MARKERS = {
+    "en": ["the", "a", "and", "of"],
+    "fr": ["le", "la", "et", "les"],
+    "de": ["der", "die", "und", "das"],
+    "es": ["el", "la", "y", "los"],
+}
+
+
+def tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, token) rows: lowercase, split on non-[a-z0-9'], drop empties."""
+    return docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT)).alias("token"),
+    ).filter(F.col("token") != "")
+
+
+def token_code(col: Column) -> Column:
+    """Deterministic polynomial code of a token (mod P), same formula as
+    the SQL oracle: sum_i ascii(substr(token, i, 1)) * 31^(i-1) mod P."""
+    terms = [
+        F.coalesce(F.ascii(F.substring(col, i + 1, 1)), F.lit(0)).cast("long")
+        * F.lit(POW31[i]).cast("long")
+        for i in range(HASH_PREFIX)
+    ]
+    s = terms[0]
+    for t in terms[1:]:
+        s = s + t
+    return F.pmod(s, F.lit(P).cast("long"))
+
+
+def token_code_sql(expr: str) -> str:
+    """The identical formula as ANSI SQL over token expression `expr`."""
+    terms = " + ".join(
+        f"CAST(coalesce(ascii(substr({expr}, {i + 1}, 1)), 0) AS BIGINT) "
+        f"* CAST({POW31[i]} AS BIGINT)"
+        for i in range(HASH_PREFIX)
+    )
+    return f"(({terms}) % {P})"
+
+
+TOKENS_SQL = (
+    "SELECT doc_id, tok AS token FROM documents, "
+    "unnest(string_split_regex(lower(text), '[^a-z0-9'']+')) AS t(tok) "
+    "WHERE tok <> ''"
+)
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact dedup: canonical (min) doc_id per identical text."""
+    return (
+        docs.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .select("canonical_id", "n_copies")
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """Per-doc minhash signature columns mh0..mh{J-1}."""
+    t = tokens(docs).withColumn("code", token_code(F.col("token")))
+    aggs = [
+        F.min(
+            F.pmod(
+                F.lit(a).cast("long") * F.col("code") + F.lit(b).cast("long"),
+                F.lit(P).cast("long"),
+            )
+        ).alias(f"mh{j}")
+        for j, (a, b) in enumerate(MINHASH_AB)
+    ]
+    return t.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs: equal minhash band (LSH banding).
+
+    Scale path: the band self-join is a hash equi-join on
+    (band_id, band_signature) — only colliding docs shuffle together.
+    """
+    sig = minhash_signatures(docs)
+    rows_per_band = ROWS_PER_BAND
+    bands = []
+    for b in range(LSH_BANDS):
+        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *cols).alias("bsig"),
+            )
+        )
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    l = banded.alias("l")
+    r = banded.alias("r")
+    return (
+        l.join(r, ["band", "bsig"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash over token-frequency vectors (bit-majority of token codes)."""
+    tc = (
+        tokens(docs)
+        .withColumn("code", token_code(F.col("token")))
+        .groupBy("doc_id", "code")
+        .agg(F.count("*").alias("cnt"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("code"), k).bitwiseAND(F.lit(1)) == 1, F.col("cnt"))
+            .otherwise(-F.col("cnt"))
+        ).alias(f"s{k}")
+        for k in range(bits)
+    ]
+    agg = tc.groupBy("doc_id").agg(*bit_sums)
+    sig = F.lit(0).cast("long")
+    for k in range(bits):
+        sig = sig + F.when(F.col(f"s{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def char_ngrams(docs: DataFrame, n: int = 4) -> DataFrame:
+    """(doc_id, distinct char n-gram) of the lowercased text — JVM-side
+    via sequence+substring explode (no Python)."""
+    return (
+        docs.select(
+            "doc_id",
+            F.lower("text").alias("lt"),
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length(F.lower("text")) - (n - 1), F.lit(0)),
+                )
+            ).alias("i"),
+        )
+        .select("doc_id", F.expr(f"substr(lt, i, {n})").alias("gram"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 4, min_jaccard: float = 0.0
+) -> DataFrame:
+    """Exact n-gram Jaccard for bounded candidate pairs (same lang+source
+    — the blocking key; at scale the LSH candidates replace blocking)."""
+    grams = char_ngrams(docs, n)
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    keys = docs.select("doc_id", "lang", "source")
+    g = grams.join(keys, "doc_id")
+    l = g.alias("l")
+    r = g.alias("r")
+    inter = (
+        l.join(
+            r,
+            (F.col("l.gram") == F.col("r.gram"))
+            & (F.col("l.lang") == F.col("r.lang"))
+            & (F.col("l.source") == F.col("r.source"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_grams", "ga"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_grams", "gb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("ga") + F.col("gb") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-token language ID with deterministic tie order."""
+    t = tokens(docs)
+    counts = t.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("token").isin(ms), 1).otherwise(0)).alias(f"c_{lg}")
+            for lg, ms in LANG_MARKERS.items()
+        ]
+    )
+    langs = list(LANG_MARKERS)
+    pred = F.lit(langs[0])
+    best = F.col(f"c_{langs[0]}")
+    for lg in langs[1:]:
+        cond = F.col(f"c_{lg}") > best
+        pred = F.when(cond, F.lit(lg)).otherwise(pred)
+        best = F.when(cond, F.col(f"c_{lg}")).otherwise(best)
+    out = counts.select("doc_id", pred.alias("pred_lang"), best.alias("n_markers"))
+    return (
+        docs.select("doc_id", "lang")
+        .join(out, "doc_id")
+        .select(
+            "doc_id",
+            "pred_lang",
+            "n_markers",
+            (F.col("pred_lang") == F.col("lang")).alias("match_meta"),
+        )
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality: token count, mean token length, stopword ratio,
+    non-alnum ratio → composite score (all closed-form, SQL-mirrorable)."""
+    t = tokens(docs).withColumn(
+        "is_stop", F.col("token").isin(STOPWORDS).cast("int")
+    )
+    ts = t.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.length("token")).alias("tok_chars"),
+        F.sum("is_stop").alias("n_stop"),
+    )
+    base = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_txt"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""))
+        ).alias("n_punct"),
+    )
+    j = base.join(ts, "doc_id")
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("tok_chars").cast("double") / F.col("n_tokens")).alias("mean_tok_len"),
+        (F.col("n_stop").cast("double") / F.col("n_tokens")).alias("stop_ratio"),
+        (F.col("n_punct").cast("double") / F.col("n_chars_txt")).alias("punct_ratio"),
+        (
+            F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0)) * 0.4
+            + (F.col("n_stop").cast("double") / F.col("n_tokens")) * 0.4
+            + (
+                F.lit(1.0)
+                - F.col("n_punct").cast("double") / F.col("n_chars_txt")
+            )
+            * 0.2
+        ).alias("quality"),
+    )
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Corpus token statistics per source (A5-style rollup)."""
+    t = tokens(docs).join(docs.select("doc_id", "source"), "doc_id")
+    return t.groupBy("source").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("token").alias("n_vocab"),
+        F.avg(F.length("token")).alias("mean_len"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Order-free bag fingerprint: sum of DISTINCT token codes mod P.
+
+    At 100 TB this is a two-level commutative aggregation (map-side
+    partials, no sort); identical token multisets collide exactly."""
+    t = (
+        tokens(docs)
+        .withColumn("code", token_code(F.col("token")))
+        .select("doc_id", "code")
+        .distinct()
+    )
+    return t.groupBy("doc_id").agg(
+        F.pmod(F.sum("code"), F.lit(P).cast("long")).alias("fingerprint"),
+        F.count("*").alias("n_distinct_tokens"),
+    )

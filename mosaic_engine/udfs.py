@@ -37,16 +37,16 @@ EXPLODE_GEOM_COLS = [
 def _explode_batch(
     pdf: pd.DataFrame, zoom: int, passthrough: list[str], exact: bool
 ) -> pd.DataFrame:
-    """One Arrow batch of scenes → (passthrough..., tx, ty, quadkey) rows."""
+    """One Arrow batch of scenes → (passthrough..., cell) rows.
+
+    The tile key is a PACKED INT64 cell id (cells.pack_cell), not a
+    quadkey string: at z10 a 1M-scene batch set emits ~67M rows, and
+    allocating that many Python string objects dominated the kernel
+    (~40% wall). Strings appear only at bounded output edges
+    (cell_to_quadkey over the aggregated tiles)."""
     n = len(pdf)
     empty = {c: pdf[c].iloc[:0] for c in passthrough}
-    empty.update(
-        {
-            "tx": np.empty(0, np.int64),
-            "ty": np.empty(0, np.int64),
-            "quadkey": np.empty(0, object),
-        }
-    )
+    empty.update({"cell": np.empty(0, np.int64)})
     if n == 0:
         return pd.DataFrame(empty)
     min_lon = pdf["min_lon"].to_numpy(np.float64)
@@ -92,9 +92,7 @@ def _explode_batch(
         tx, ty, scene_of = tx[keep], ty[keep], scene_of[keep]
 
     out = {c: pdf[c].to_numpy()[scene_of] for c in passthrough}
-    out["tx"] = tx
-    out["ty"] = ty
-    out["quadkey"] = tm.tile_to_quadkey(tx, ty, zoom)
+    out["cell"] = cl.pack_cell(tx, ty, zoom)
     return pd.DataFrame(out)
 
 
@@ -117,12 +115,7 @@ def explode_to_quadkeys(
     src = df.select(*in_cols)
     fields = [src.schema[c] for c in passthrough]
     out_schema = T.StructType(
-        fields
-        + [
-            T.StructField("tx", T.LongType()),
-            T.StructField("ty", T.LongType()),
-            T.StructField("quadkey", T.StringType()),
-        ]
+        fields + [T.StructField("cell", T.LongType())]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -147,12 +140,7 @@ def ring_to_quadkeys(
         F.array_max(ys_col).alias("max_lat"),
     )
     out_schema = T.StructType(
-        [src.schema[id_col]]
-        + [
-            T.StructField("tx", T.LongType()),
-            T.StructField("ty", T.LongType()),
-            T.StructField("quadkey", T.StringType()),
-        ]
+        [src.schema[id_col]] + [T.StructField("cell", T.LongType())]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -200,11 +188,22 @@ def make_scalar_udfs():
             tm.tile_to_quadkey(tx.to_numpy(np.int64), ty.to_numpy(np.int64), zoom)
         )
 
+    @pandas_udf(T.StringType())
+    def cell_quadkey(cell: pd.Series) -> pd.Series:
+        c = cell.to_numpy(np.int64)
+        xs, ys, lv = cl.unpack_cell(c)
+        out = np.empty(len(c), dtype=object)
+        for z in np.unique(lv):
+            m = lv == z
+            out[m] = tm.tile_to_quadkey(xs[m], ys[m], int(z))
+        return pd.Series(out)
+
     return {
         "cell_id": cell_id,
         "cell_neighbors": cell_neighbors,
         "haversine_m": haversine_m,
         "tile_quadkey": tile_quadkey,
+        "cell_quadkey": cell_quadkey,
     }
 
 
