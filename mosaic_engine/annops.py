@@ -37,9 +37,12 @@ def quantized(col) -> Column:
 
 
 def dot_long(a, b) -> Column:
-    """Exact integer dot product of two array<long> columns."""
+    """Exact integer dot product of two array<long> columns.
+
+    zip_with pads the shorter array with nulls — coalesce keeps a
+    dimension mismatch from silently nulling the whole sum."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
+        F.zip_with(a, b, lambda x, y: F.coalesce(x * y, F.lit(0).cast("long"))),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )

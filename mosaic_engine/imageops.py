@@ -216,3 +216,58 @@ def phash64(pixels: np.ndarray) -> int:
 def hamming64(a: int, b: int) -> int:
     """Hamming distance between two 64-bit hashes stored as signed int64."""
     return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def resize_block_mean(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Deterministic box-downsample via integer block means (the phash
+    grid generalized to any target size). Upsampling uses nearest."""
+    h, w = pixels.shape[0], pixels.shape[1]
+    ye = (np.arange(out_h + 1) * h) // out_h
+    xe = (np.arange(out_w + 1) * w) // out_w
+    out = np.empty((out_h, out_w, 3), dtype=np.uint8)
+    if out_h <= h and out_w <= w:
+        cs = np.zeros((h + 1, w + 1, 3), dtype=np.uint64)
+        cs[1:, 1:] = pixels.astype(np.uint64).cumsum(0).cumsum(1)
+        for i in range(out_h):
+            for j in range(out_w):
+                tot = (cs[ye[i + 1], xe[j + 1]] + cs[ye[i], xe[j]]) - (
+                    cs[ye[i], xe[j + 1]] + cs[ye[i + 1], xe[j]]
+                )
+                area = (ye[i + 1] - ye[i]) * (xe[j + 1] - xe[j])
+                out[i, j] = (tot // max(area, 1)).astype(np.uint8)
+        return out
+    yi = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    xi = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return pixels[np.ix_(yi, xi)]
+
+
+def image_features(pixels: np.ndarray) -> np.ndarray:
+    """Compact deterministic feature vector (len 14): per-channel mean +
+    std, grayscale 8-bin histogram (normalized). float32."""
+    p = pixels.astype(np.float64)
+    mean = p.mean(axis=(0, 1))
+    std = p.std(axis=(0, 1))
+    g = gray_u8(pixels)
+    hist = np.bincount((g >> 5).ravel(), minlength=8).astype(np.float64)
+    hist /= max(g.size, 1)
+    return np.concatenate([mean, std, hist]).astype(np.float32)
+
+
+def sample_video_frames(data: bytes, fmt: str, every_n: int) -> list[bytes]:
+    """STUB: video container demux/decode is not available in this
+    sandbox (no av/ffmpeg libs — SURVEY.md §0). The Spark plumbing
+    (schema, mapInPandas batching) is real and tested against this
+    explicit failure."""
+    raise NotImplementedError(
+        f"video codec {fmt!r} unavailable in this build; plug a demuxer "
+        "into sample_video_frames()"
+    )
+
+
+def decode_audio(data: bytes, fmt: str) -> np.ndarray:
+    """STUB: audio codecs not available in this sandbox (no soundfile/
+    librosa). Raises explicitly; plumbing is real."""
+    raise NotImplementedError(
+        f"audio codec {fmt!r} unavailable in this build; plug a decoder "
+        "into decode_audio()"
+    )

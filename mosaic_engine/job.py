@@ -52,6 +52,15 @@ def make_session(
         b = b.config("spark.local.dir", shm)
     if not os.environ.get("SPARK_MASTER") and "SPARK_ENV_LOADED" not in os.environ:
         b = b.master(f"local[{cores}]")
+    # make this package importable in Python workers regardless of cwd
+    # (on a real cluster, spark-submit --py-files does this instead)
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prev = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in prev.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_parent}{os.pathsep}{prev}" if prev else pkg_parent
+        )
+    b = b.config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -377,3 +377,30 @@ def raster_vector_join(
         "image_id",
         "feature_id",
     )
+
+
+# ------------------------------------------------------------------ stats
+def dedup_scenes(df: DataFrame) -> DataFrame:
+    """F7: drop duplicate product ids (multi-page search results)."""
+    return df.dropDuplicates(["image_id"])
+
+
+def mosaic_stats(assign: DataFrame) -> DataFrame:
+    """A5: assets-per-tile histogram over the assignments table."""
+    return (
+        assign.groupBy("n_assets")
+        .agg(F.count("*").alias("n_tiles"))
+        .orderBy("n_assets")
+    )
+
+
+def mosaic_rollup(tiles: DataFrame) -> DataFrame:
+    """A8: per-zoom-prefix rollup metrics (grouping sets on the packed
+    cell's parents) — per-region tile/scene counts for reporting."""
+    lv1 = tiles.select(
+        F.shiftleft(F.shiftright("cell", 8), 8).alias("cell_r4"), "image_id"
+    )
+    return lv1.rollup("cell_r4").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("image_id").alias("n_scenes"),
+    )

@@ -1,0 +1,206 @@
+"""Sources / sinks beyond plain parquet (SURVEY.md §2.1).
+
+- S1: newline-delimited GeoJSON Feature scan → scenes schema
+  ([ref: landsat_cogeo_mosaic/cli.py#create] reads ndjson features)
+- S4: AWS landsat-pds scene_list CSV ingest (the 12 public columns)
+  ([ref: cli.py#index] builds the sqlite index from it)
+- J2 support: WRS-2 path/row → footprint dimension table + broadcast
+  attach ([ref: db.py] create-from-db rows lack footprints and join the
+  path-row geometry lookup)
+- S5: gzip mosaicJSON sink
+"""
+
+from __future__ import annotations
+
+import gzip
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SCENE_LIST_SCHEMA = T.StructType(
+    [
+        T.StructField("productId", T.StringType()),
+        T.StructField("entityId", T.StringType()),
+        T.StructField("acquisitionDate", T.TimestampType()),
+        T.StructField("cloudCover", T.DoubleType()),
+        T.StructField("processingLevel", T.StringType()),
+        T.StructField("path", T.IntegerType()),
+        T.StructField("row", T.IntegerType()),
+        T.StructField("min_lat", T.DoubleType()),
+        T.StructField("min_lon", T.DoubleType()),
+        T.StructField("max_lat", T.DoubleType()),
+        T.StructField("max_lon", T.DoubleType()),
+        T.StructField("download_url", T.StringType()),
+    ]
+)
+
+
+def read_scene_list_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S4: scene_list(.gz) CSV → canonical scene metadata columns.
+
+    Footprints are NOT in the CSV — attach via attach_wrs2_footprints
+    (J2) or fall back to bbox rings.
+    """
+    raw = spark.read.csv(path, header=True, schema=SCENE_LIST_SCHEMA)
+    return raw.select(
+        F.col("productId").alias("image_id"),
+        F.col("path"),
+        F.col("row"),
+        F.col("acquisitionDate").alias("acquisition_date"),
+        F.col("cloudCover").alias("cloud_cover"),
+        "min_lon",
+        "min_lat",
+        "max_lon",
+        "max_lat",
+    )
+
+
+def read_ndjson_features(spark: SparkSession, path: str) -> DataFrame:
+    """S1: ndjson GeoJSON Features → scene rows.
+
+    Expects the reference's sat-api item shape: geometry.coordinates
+    ring + properties {landsat:product_id | product_id, eo:cloud_cover,
+    datetime, wrs_path/wrs_row}. Ring → fp_xs/fp_ys + bbox.
+    """
+    schema = T.StructType(
+        [
+            T.StructField(
+                "geometry",
+                T.StructType(
+                    [
+                        T.StructField("type", T.StringType()),
+                        T.StructField(
+                            "coordinates",
+                            T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType()))),
+                        ),
+                    ]
+                ),
+            ),
+            T.StructField(
+                "properties",
+                T.StructType(
+                    [
+                        T.StructField("product_id", T.StringType()),
+                        T.StructField("landsat:product_id", T.StringType()),
+                        T.StructField("eo:cloud_cover", T.DoubleType()),
+                        T.StructField("cloud_cover", T.DoubleType()),
+                        T.StructField("datetime", T.TimestampType()),
+                        T.StructField("wrs_path", T.IntegerType()),
+                        T.StructField("wrs_row", T.IntegerType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    feats = spark.read.json(path, schema=schema)
+    ring = F.col("geometry.coordinates")[0]
+    xs = F.transform(ring, lambda p: p[0])
+    ys = F.transform(ring, lambda p: p[1])
+    return feats.select(
+        F.coalesce(
+            F.col("properties.product_id"), F.col("properties.`landsat:product_id`")
+        ).alias("image_id"),
+        F.coalesce(
+            F.col("properties.wrs_path"),
+            parse_product_id_col(
+                F.coalesce(
+                    F.col("properties.product_id"),
+                    F.col("properties.`landsat:product_id`"),
+                )
+            )["path"],
+        ).alias("path"),
+        F.coalesce(
+            F.col("properties.wrs_row"),
+            parse_product_id_col(
+                F.coalesce(
+                    F.col("properties.product_id"),
+                    F.col("properties.`landsat:product_id`"),
+                )
+            )["row"],
+        ).alias("row"),
+        F.col("properties.datetime").alias("acquisition_date"),
+        F.coalesce(
+            F.col("properties.`eo:cloud_cover`"), F.col("properties.cloud_cover")
+        ).alias("cloud_cover"),
+        F.array_min(xs).alias("min_lon"),
+        F.array_min(ys).alias("min_lat"),
+        F.array_max(xs).alias("max_lon"),
+        F.array_max(ys).alias("max_lat"),
+        xs.alias("fp_xs"),
+        ys.alias("fp_ys"),
+    )
+
+
+def parse_product_id_col(col):
+    """Landsat product id fixed-offset parse (SURVEY §2.8):
+    LC08_L1TP_PPPRRR_YYYYMMDD_yyyymmdd_CC_Tx → struct(path,row,acq,tier).
+    Pure builtin string functions — stays in codegen."""
+    return F.struct(
+        F.substring(col, 11, 3).cast("int").alias("path"),
+        F.substring(col, 14, 3).cast("int").alias("row"),
+        F.to_date(F.substring(col, 18, 8), "yyyyMMdd").alias("acq_date"),
+        F.substring_index(col, "_T", -1).substr(1, 1).cast("int").alias("tier"),
+    )
+
+
+def wrs2_dim(spark: SparkSession, paths: int = 50, rows: int = 30) -> DataFrame:
+    """Synthetic WRS-2 path/row → footprint dimension table (the
+    reference's path-row geometry dict, [ref: util.py]). Deterministic
+    parallelogram per cell, same layout datagen uses."""
+    from pyspark.sql import Row
+
+    recs = []
+    lon_base, lat_base = -130.0, 25.0
+    for p in range(1, paths + 1):
+        for r in range(1, rows + 1):
+            lon0 = lon_base + (p - 1) * 2.0
+            lat0 = lat_base + (r - 1) * 1.8
+            xs = [lon0, lon0 + 2.2, lon0 + 2.75, lon0 + 0.55, lon0]
+            ys = [lat0, lat0, lat0 + 1.98, lat0 + 1.98, lat0]
+            recs.append(
+                Row(
+                    path=p,
+                    row=r,
+                    w_fp_xs=xs,
+                    w_fp_ys=ys,
+                    w_min_lon=min(xs),
+                    w_min_lat=min(ys),
+                    w_max_lon=max(xs),
+                    w_max_lat=max(ys),
+                )
+            )
+    return spark.createDataFrame(recs)
+
+
+def attach_wrs2_footprints(scenes: DataFrame, wrs2: DataFrame) -> DataFrame:
+    """J2: broadcast hash equi-join on (path, row) filling missing
+    footprints — the create-from-db path where rows carry only bboxes."""
+    joined = scenes.join(F.broadcast(wrs2), ["path", "row"], "left")
+    out = joined
+    for c, wc in [
+        ("fp_xs", "w_fp_xs"),
+        ("fp_ys", "w_fp_ys"),
+        ("min_lon", "w_min_lon"),
+        ("min_lat", "w_min_lat"),
+        ("max_lon", "w_max_lon"),
+        ("max_lat", "w_max_lat"),
+    ]:
+        if c in scenes.columns:
+            out = out.withColumn(c, F.coalesce(F.col(c), F.col(wc)))
+        else:
+            out = out.withColumn(c, F.col(wc))
+    return out.drop(
+        "w_fp_xs", "w_fp_ys", "w_min_lon", "w_min_lat", "w_max_lon", "w_max_lat"
+    )
+
+
+def write_mosaic_json(doc_json: str, path: str) -> str:
+    """S5 sink: canonical mosaicJSON, gzipped iff path ends with .gz."""
+    if path.endswith(".gz"):
+        with gzip.open(path, "wt") as f:
+            f.write(doc_json)
+    else:
+        with open(path, "w") as f:
+            f.write(doc_json)
+    return path

@@ -1,0 +1,81 @@
+"""Structured Streaming: incremental mosaic maintenance (SURVEY §2.10).
+
+The reference is a batch CLI; its closest streaming analog is "new
+scenes keep arriving, keep the mosaic current". Shape:
+
+  scene files → readStream → foreachBatch: fused explode (the expensive
+  spatial work, done ONCE per arriving scene) → append-only tiles log →
+  finalize: salted selection aggregation over the log → mosaicJSON.
+
+The explode is incremental and idempotent per micro-batch (Spark's
+foreachBatch checkpoint guarantees each batch lands once); the
+selection aggregation re-runs over the bounded tiles log at finalize
+time — it is the cheap, shuffle-light tail of the pipeline. No
+watermark/state store is needed because scene selection is a pure
+aggregation with a total-order key (late scenes simply merge in).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from . import mosaic as mz
+from . import ops, udfs
+from .mosaic import EXPLODE_PASSTHROUGH
+from .ops import MosaicConfig
+
+
+def run_incremental(
+    spark: SparkSession,
+    scenes_dir: str,
+    cfg: MosaicConfig,
+    work_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> int:
+    """Process all currently-available scene files incrementally.
+
+    Returns the number of micro-batches executed this invocation.
+    Re-invoking after new files land processes ONLY the new files
+    (checkpointed source offsets).
+    """
+    os.makedirs(work_dir, exist_ok=True)
+    schema = spark.read.parquet(scenes_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(scenes_dir)
+
+    tiles_dir = os.path.join(work_dir, "tiles_log")
+    n_batches = {"n": 0}
+
+    def handle(batch_df, batch_id):
+        filtered = ops.filter_scenes(batch_df, cfg)
+        tiles = udfs.explode_to_quadkeys(
+            filtered, cfg.quadkey_zoom, passthrough=EXPLODE_PASSTHROUGH
+        )
+        tiles.write.mode("append").parquet(tiles_dir)
+        n_batches["n"] += 1
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(work_dir, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]
+
+
+def finalize(
+    spark: SparkSession, scenes_dir: str, cfg: MosaicConfig, work_dir: str
+) -> dict:
+    """Aggregate the accumulated tiles log into the current mosaicJSON."""
+    tiles = spark.read.parquet(os.path.join(work_dir, "tiles_log"))
+    assign = ops.assignments(tiles, cfg)
+    scenes = ops.filter_scenes(spark.read.parquet(scenes_dir), cfg)
+    bounds = ops.mosaic_bounds(scenes, assign)
+    rows = assign.select("quadkey", "assets").collect()
+    tiles_map = {r["quadkey"]: list(r["assets"]) for r in rows}
+    return mz.assemble_mosaic_doc(tiles_map, bounds, cfg)

@@ -317,3 +317,47 @@ def image_invariants(df: DataFrame) -> DataFrame:
             )
 
     return src.mapInPandas(run, schema=IMAGE_CHECK_SCHEMA)
+
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+        T.StructField("thumb_phash", T.LongType()),
+    ]
+)
+
+
+def image_features(df: DataFrame, thumb: int = 16) -> DataFrame:
+    """Multimodal lane: decode → block-mean resize → feature vector +
+    thumbnail phash, one Arrow stage. Unknown codecs surface as nulls
+    (the decode stub raises NotImplementedError per SURVEY §0)."""
+    src = df.select("image_id", "bytes", "w", "h", "fmt")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            feats: list = [None] * n
+            ph = np.zeros(n, np.int64)
+            for i in range(n):
+                try:
+                    px = im.decode_image(
+                        pdf["bytes"].iloc[i],
+                        int(pdf["w"].iloc[i]),
+                        int(pdf["h"].iloc[i]),
+                        pdf["fmt"].iloc[i],
+                    )
+                except (NotImplementedError, ValueError):
+                    continue
+                small = im.resize_block_mean(px, thumb, thumb)
+                feats[i] = im.image_features(px)
+                ph[i] = im.phash64(small)
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "features": feats,
+                    "thumb_phash": ph,
+                }
+            )
+
+    return src.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)

@@ -1,0 +1,103 @@
+"""Physical-plan assertions: the plans we'd want at 100 TB, not just
+plans that pass (task brief: '.explain' the plan and iterate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mosaic_engine import mosaic as mz
+from mosaic_engine import ops, udfs
+from mosaic_engine.ops import MosaicConfig
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filters_push_to_parquet_scan(spark, scenes_df):
+    cfg = MosaicConfig(
+        max_cloud=25.0, bounds=(-128.0, 26.0, -114.0, 36.0), min_date="2020-01-01"
+    )
+    df = ops.filter_scenes(scenes_df, cfg)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # all predicates are scan-pushable (toString truncates the
+    # PushedFilters list, so assert presence + the full Filter node)
+    assert "PushedFilters: [IsNotNull" in plan
+    assert "cloud_cover" in plan and "min_lon" in plan
+    assert "acquisition_date" in plan
+    assert "(cloud_cover" in plan.split("Filter")[1]
+
+
+def test_explode_reads_only_needed_columns(spark, scenes_df):
+    tiles = udfs.explode_to_quadkeys(scenes_df, 7, passthrough=["image_id"])
+    plan = _plan(tiles)
+    # ReadSchema must exclude the heavy payload column
+    assert "bytes" not in plan.split("ReadSchema")[-1][:400]
+    assert "fp_xs" in plan  # geometry is needed
+
+
+def test_explode_stage_has_no_shuffle(spark, scenes_df):
+    tiles = udfs.explode_to_quadkeys(scenes_df, 7)
+    plan = _plan(tiles)
+    assert "Exchange" not in plan, plan
+
+
+def test_assignments_shuffles_only_on_cell_keys(spark, scenes_df):
+    cfg = MosaicConfig(quadkey_zoom=7, optimized_selection=True)
+    assign = mz.quadkey_assignments(scenes_df, cfg)
+    plan = _plan(assign)
+    # exactly the expected exchanges: (cell,path,row) dedupe,
+    # (cell,salt) phase-1, (cell) phase-2 — no range/global sorts.
+    # (min(struct) plans as SortAggregate — partial map-side + per-task
+    # sort on fine keys; that's the spill-safe shape, asserted below.)
+    n_exch = plan.count("Exchange hashpartitioning")
+    assert 1 <= n_exch <= 3, plan
+    assert "rangepartitioning" not in plan
+    assert "partial_min" in plan, "dedupe must pre-aggregate map-side"
+
+
+def test_partial_aggregation_runs_map_side(spark, scenes_df):
+    cfg = MosaicConfig(quadkey_zoom=7, optimized_selection=True)
+    tiles = udfs.explode_to_quadkeys(scenes_df, cfg.quadkey_zoom)
+    dd = ops.optimized_dedupe(tiles, cfg)
+    plan = _plan(dd)
+    assert "partial_min" in plan, plan
+
+
+def test_knn_broadcasts_probe_side(spark, scenes_df, fixture_dir):
+    import os
+
+    queries = spark.read.parquet(os.path.join(fixture_dir, "knn_queries.parquet"))
+    res = ops.knn_join(scenes_df, queries, level=5)
+    plan = _plan(res)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_missing_quadkeys_uses_anti_join(spark, scenes_df, fixture_dir):
+    import os
+
+    land = spark.read.parquet(os.path.join(fixture_dir, "land.parquet"))
+    cfg = MosaicConfig(quadkey_zoom=7)
+    assign = mz.quadkey_assignments(scenes_df, cfg)
+    miss = ops.missing_quadkeys(land, assign, 7)
+    plan = _plan(miss)
+    assert "LeftAnti" in plan
+
+
+def test_whole_stage_codegen_covers_relational_ops(spark, sf001_dir=None):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"))
+    )
+    q.collect()  # AQE finalizes codegen spans only after execution
+    plan = _plan(q)
+    # '*(n)' prefixes mark WholeStageCodegen spans in toString form
+    assert "*(" in plan, plan
+    assert "HashAggregate" in plan

@@ -1,0 +1,197 @@
+"""Sources (S1/S4), J2 broadcast footprint attach, stats, multimodal lane."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+import numpy as np
+import pytest
+
+from mosaic_engine import imageops as im
+from mosaic_engine import mosaic as mz
+from mosaic_engine import ops, sources, udfs
+from mosaic_engine.ops import MosaicConfig
+
+
+def test_scene_list_csv_ingest(spark, tmp_path):
+    csv = tmp_path / "scene_list.csv"
+    csv.write_text(
+        "productId,entityId,acquisitionDate,cloudCover,processingLevel,"
+        "path,row,min_lat,min_lon,max_lat,max_lon,download_url\n"
+        "LC08_L1TP_047027_20200101_20200113_01_T1,LC80470272020001LGN00,"
+        "2020-01-01 18:30:00,12.5,L1TP,47,27,46.0,-124.0,48.2,-121.5,"
+        "https://example/x\n"
+        "LC08_L1TP_047028_20200102_20200113_01_T2,LC80470282020002LGN00,"
+        "2020-01-02 18:30:00,77.0,L1TP,47,28,44.5,-124.4,46.7,-121.9,"
+        "https://example/y\n"
+    )
+    df = sources.read_scene_list_csv(spark, str(csv))
+    rows = {r["image_id"]: r for r in df.collect()}
+    assert len(rows) == 2
+    r = rows["LC08_L1TP_047027_20200101_20200113_01_T1"]
+    assert r["path"] == 47 and r["row"] == 27
+    assert r["cloud_cover"] == 12.5
+    assert r["min_lon"] == -124.0 and r["max_lat"] == 48.2
+
+
+def test_ndjson_feature_scan(spark, tmp_path):
+    feats = [
+        {
+            "geometry": {
+                "type": "Polygon",
+                "coordinates": [
+                    [
+                        [-124.0, 46.0],
+                        [-121.5, 46.4],
+                        [-121.0, 48.2],
+                        [-123.6, 47.8],
+                        [-124.0, 46.0],
+                    ]
+                ],
+            },
+            "properties": {
+                "product_id": "LC08_L1TP_047027_20200101_20200113_01_T1",
+                "eo:cloud_cover": 3.25,
+                "datetime": "2020-01-01T18:30:00Z",
+                "wrs_path": 47,
+                "wrs_row": 27,
+            },
+        },
+        {
+            "geometry": {
+                "type": "Polygon",
+                "coordinates": [
+                    [
+                        [-118.0, 34.0],
+                        [-115.9, 34.4],
+                        [-115.5, 36.0],
+                        [-117.6, 35.6],
+                        [-118.0, 34.0],
+                    ]
+                ],
+            },
+            "properties": {
+                "landsat:product_id": "LC08_L1TP_040036_20200601_20200608_01_T1",
+                "cloud_cover": 55.0,
+                "datetime": "2020-06-01T18:10:00Z",
+            },
+        },
+    ]
+    path = tmp_path / "features.ndjson"
+    path.write_text("\n".join(json.dumps(f) for f in feats))
+    df = sources.read_ndjson_features(spark, str(path))
+    rows = {r["image_id"]: r for r in df.collect()}
+    assert len(rows) == 2
+    a = rows["LC08_L1TP_047027_20200101_20200113_01_T1"]
+    assert a["path"] == 47 and a["cloud_cover"] == 3.25
+    assert a["min_lon"] == -124.0 and a["max_lon"] == -121.0
+    assert list(a["fp_xs"])[0] == -124.0 and len(a["fp_xs"]) == 5
+    # second feature: path/row parsed from the product id (no wrs_* props)
+    b = rows["LC08_L1TP_040036_20200601_20200608_01_T1"]
+    assert b["path"] == 40 and b["row"] == 36
+
+    # the ndjson source feeds the same pipeline end-to-end
+    cfg = MosaicConfig(quadkey_zoom=7)
+    doc, _ = mz.build_mosaic(df, cfg)
+    assert len(doc["tiles"]) > 0
+
+
+def test_parse_product_id(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("LC08_L1TP_047027_20200101_20200113_01_T1",)], ["image_id"]
+    ).select(sources.parse_product_id_col(F.col("image_id")).alias("p"))
+    r = df.select("p.*").first()
+    assert (r["path"], r["row"], str(r["acq_date"]), r["tier"]) == (
+        47,
+        27,
+        "2020-01-01",
+        1,
+    )
+
+
+def test_attach_wrs2_footprints(spark):
+    from pyspark.sql import Row
+
+    wrs2 = sources.wrs2_dim(spark, paths=5, rows=5)
+    scenes = spark.createDataFrame(
+        [
+            Row(image_id="A", path=2, row=3, cloud_cover=1.0),
+            Row(image_id="B", path=4, row=1, cloud_cover=2.0),
+        ]
+    )
+    out = sources.attach_wrs2_footprints(scenes, wrs2)
+    rows = {r["image_id"]: r for r in out.collect()}
+    a = rows["A"]
+    assert len(a["fp_xs"]) == 5
+    assert a["min_lon"] == -130.0 + 1 * 2.0  # path 2 cell
+    assert a["min_lat"] == 25.0 + 2 * 1.8
+    # plan uses a broadcast join
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_gzip_mosaic_sink(tmp_path):
+    doc = '{"a":1}'
+    p = str(tmp_path / "m.json.gz")
+    sources.write_mosaic_json(doc, p)
+    assert gzip.open(p, "rt").read() == doc
+    p2 = str(tmp_path / "m.json")
+    sources.write_mosaic_json(doc, p2)
+    assert open(p2).read() == doc
+
+
+def test_mosaic_stats_and_rollup(spark, scenes_df):
+    cfg = MosaicConfig(quadkey_zoom=7)
+    assign = mz.quadkey_assignments(scenes_df, cfg)
+    hist = {r["n_assets"]: r["n_tiles"] for r in ops.mosaic_stats(assign).collect()}
+    doc, _ = mz.build_mosaic(scenes_df, cfg)
+    exp: dict[int, int] = {}
+    for assets in doc["tiles"].values():
+        exp[len(assets)] = exp.get(len(assets), 0) + 1
+    assert hist == exp
+    tiles = udfs.explode_to_quadkeys(scenes_df, 7)
+    roll = ops.mosaic_rollup(tiles).collect()
+    total = [r for r in roll if r["cell_r4"] is None]
+    assert len(total) == 1 and total[0]["n_rows"] == tiles.count()
+
+
+def test_image_features_lane(spark, scenes_df):
+    out = udfs.image_features(scenes_df).collect()
+    assert len(out) == scenes_df.count()
+    for r in out:
+        assert r["features"] is not None and len(r["features"]) == 14
+        hist = r["features"][6:]
+        assert abs(sum(hist) - 1.0) < 1e-5
+
+
+def test_resize_and_features_kernels():
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (32, 48, 3)).astype(np.uint8)
+    small = im.resize_block_mean(px, 16, 16)
+    assert small.shape == (16, 16, 3)
+    # constant image stays constant through resize both directions
+    const = np.full((20, 20, 3), 77, np.uint8)
+    assert (im.resize_block_mean(const, 7, 13) == 77).all()
+    assert (im.resize_block_mean(const, 40, 40) == 77).all()
+    f = im.image_features(px)
+    assert f.shape == (14,) and f.dtype == np.float32
+    with pytest.raises(NotImplementedError):
+        im.sample_video_frames(b"xx", "mp4", 5)
+    with pytest.raises(NotImplementedError):
+        im.decode_audio(b"xx", "wav")
+
+
+def test_catalog_parquet_roundtrip(spark, tmp_path):
+    from mosaic_engine import catalog
+
+    df = spark.range(10).withColumnRenamed("id", "x")
+    loc = str(tmp_path / "t.parquet")
+    catalog.write_table(df, loc)
+    back = catalog.read_table(spark, loc)
+    assert back.count() == 10
+    with pytest.raises(RuntimeError, match="iceberg"):
+        catalog.read_table(spark, "db.t", fmt="iceberg")

@@ -1,0 +1,44 @@
+"""Incremental streaming mosaic == batch mosaic, byte-for-byte."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+
+from mosaic_engine import datagen, mosaic as mz, streaming
+from mosaic_engine.ops import MosaicConfig
+
+
+def test_streaming_incremental_matches_batch(spark, tmp_path):
+    full = datagen.gen_scenes(n_scenes=80, paths=4, rows=4, seed=42)
+    part1 = full.slice(0, 40)
+    part2 = full.slice(40)
+    scenes_dir = str(tmp_path / "scenes")
+    work = str(tmp_path / "work")
+    os.makedirs(scenes_dir)
+    cfg = MosaicConfig(quadkey_zoom=7, optimized_selection=True)
+
+    # batch oracle over everything
+    fullp = str(tmp_path / "full.parquet")
+    datagen.write_parquet(full, fullp)
+    batch_doc, _ = mz.build_mosaic(spark.read.parquet(fullp), cfg)
+
+    # stream part 1, then part 2 arrives, re-run → only new files process
+    datagen.write_parquet(part1, os.path.join(scenes_dir, "p1.parquet"))
+    n1 = streaming.run_incremental(spark, scenes_dir, cfg, work)
+    assert n1 >= 1
+    doc1 = streaming.finalize(spark, scenes_dir, cfg, work)
+    assert set(doc1["tiles"]) <= set(batch_doc["tiles"])
+
+    datagen.write_parquet(part2, os.path.join(scenes_dir, "p2.parquet"))
+    n2 = streaming.run_incremental(spark, scenes_dir, cfg, work)
+    assert n2 >= 1
+    doc2 = streaming.finalize(spark, scenes_dir, cfg, work)
+    assert mz.canonical_json(doc2) == mz.canonical_json(batch_doc)
+
+    # idempotence: nothing new → no batches, same document
+    n3 = streaming.run_incremental(spark, scenes_dir, cfg, work)
+    assert n3 == 0
+    doc3 = streaming.finalize(spark, scenes_dir, cfg, work)
+    assert mz.canonical_json(doc3) == mz.canonical_json(batch_doc)
