@@ -37,6 +37,12 @@ def pad_rings(xs_list, ys_list):
     n = len(xs_list)
     lens = np.fromiter((len(x) for x in xs_list), dtype=np.int64, count=n)
     maxlen = int(lens.max()) if n else 0
+    if n and (lens == maxlen).all():
+        # uniform rings (the common case: fixed 5-point footprints) —
+        # one C-level stack instead of a Python row loop
+        RX = np.asarray([np.asarray(x) for x in xs_list], dtype=np.float64)
+        RY = np.asarray([np.asarray(y) for y in ys_list], dtype=np.float64)
+        return RX, RY, lens
     RX = np.empty((n, maxlen), dtype=np.float64)
     RY = np.empty((n, maxlen), dtype=np.float64)
     for i in range(n):  # batch-level loop over rows only to pack arrays;

@@ -217,3 +217,16 @@ def test_image_invariants_spark(spark, scenes_df):
         assert r["caption_ok"], r["image_id"]
         # lossless codecs → exact roundtrip (PSNR inf ≥ 40dB threshold)
         assert r["psnr_db"] == float("inf"), r["image_id"]
+
+
+def test_salt_buckets_invariance_on_hotspot(spark, scenes_df, scene_records):
+    """Skew handling: the hotspot cells (FIXTURES §1) produce identical
+    output for any salt fan-out, including the degenerate salt=1."""
+    hot = [r for r in scene_records if "hotspot" in r["caption"]]
+    assert len(hot) >= 20, "fixtures must include the density hotspot"
+    docs = []
+    for s in (1, 7, 64):
+        cfg = MosaicConfig(quadkey_zoom=7, salt_buckets=s)
+        doc, _ = mz.build_mosaic(scenes_df, cfg)
+        docs.append(mz.canonical_json(doc))
+    assert docs[0] == docs[1] == docs[2]
