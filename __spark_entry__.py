@@ -803,6 +803,126 @@ def sql_window_topk_orders():
     )
 
 
+
+
+def q_geo_tile_bounds(spark, sf_dir):
+    """G4: quadkey → tile x/y → west/north bounds (inverse tile math)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    from mosaic_engine import tilemath as tm
+
+    d = _tile_assign_df(spark, sf_dir)
+
+    @pandas_udf(T.StructType([
+        T.StructField("tile_w", T.DoubleType()),
+        T.StructField("tile_s", T.DoubleType()),
+        T.StructField("tile_e", T.DoubleType()),
+        T.StructField("tile_n", T.DoubleType()),
+    ]))
+    def tb(tx: pd.Series, ty: pd.Series) -> pd.DataFrame:
+        w, s_, e, n = tm.tile_bounds(
+            tx.to_numpy("int64"), ty.to_numpy("int64"), Z_TILE
+        )
+        return pd.DataFrame(
+            {"tile_w": w, "tile_s": s_, "tile_e": e, "tile_n": n}
+        )
+
+    # round(9): DuckDB has no sinh(); its exp-form oracle differs in the
+    # last ULP — 1e-9 deg ≈ 0.1 mm, far below any tile-assignment effect
+    return d.select("event_id", "quadkey", tb("tx", "ty").alias("b")).select(
+        "event_id",
+        "quadkey",
+        F.round("b.tile_w", 9).alias("tile_w"),
+        F.round("b.tile_s", 9).alias("tile_s"),
+        F.round("b.tile_e", 9).alias("tile_e"),
+        F.round("b.tile_n", 9).alias("tile_n"),
+    )
+
+
+def sql_geo_tile_bounds():
+    def ul(xe, ye, z):
+        z2 = 1 << z
+        lon = f"(({xe}) / {float(z2)}) * 360.0 - 180.0"
+        inner = f"pi() * (1.0 - 2.0 * ({ye}) / {float(z2)})"
+        lat = f"degrees(atan((exp({inner}) - exp(-({inner}))) / 2.0))"
+        return lon, lat
+
+    wlon, nlat = ul("tx", "ty", Z_TILE)
+    elon, slat = ul("tx + 1", "ty + 1", Z_TILE)
+    return (
+        f"WITH pts AS ({EVENT_POINTS_SQL}), "
+        f"t AS (SELECT event_id, {_tile_sql('lon', 'lat', Z_TILE, 'tx', 'ty')} FROM pts) "
+        f"SELECT event_id, {_quadkey_sql('tx', 'ty', Z_TILE)} AS quadkey, "
+        f"round({wlon}, 9) AS tile_w, round({slat}, 9) AS tile_s, "
+        f"round({elon}, 9) AS tile_e, round({nlat}, 9) AS tile_n "
+        f"FROM t"
+    )
+
+
+def q_tpch_q6(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount").between(0.03, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def sql_tpch_q6():
+    return (
+        "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, "
+        "count(*) AS n_rows FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01' "
+        "AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24"
+    )
+
+
+def q_events_sessions(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions per user (lag + running sum)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_no", F.sum("new_session").over(w)
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+
+
+def sql_events_sessions():
+    return (
+        "WITH g AS (SELECT user_id, event_id, ts, value, "
+        "CASE WHEN lag(ts) OVER w IS NULL "
+        "OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END "
+        "AS new_session FROM events "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "s AS (SELECT user_id, event_id, value, "
+        "sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS session_no FROM g) "
+        "SELECT user_id, session_no, count(*) AS n_events, "
+        "min(event_id) AS first_event, round(sum(value), 4) AS session_value "
+        "FROM s GROUP BY user_id, session_no"
+    )
+
+
 # -------------------------------------------- engine-native (rows-only)
 _FIXTURE_CACHE: dict[str, str] = {}
 
@@ -858,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_anti_join": q_geo_anti_join,
         "geo_pip": q_geo_pip,
         "geo_knn_brute": q_geo_knn_brute,
+        "geo_tile_bounds": q_geo_tile_bounds,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_signatures": q_minhash_signatures,
         "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -874,7 +995,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5ish": q_tpch_q5ish,
+        "tpch_q6": q_tpch_q6,
         "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
         "events_props": q_events_props,
         "window_topk_orders": q_window_topk_orders,
         "mosaic_assignments": q_mosaic_assignments,
@@ -891,6 +1014,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_anti_join": sql_geo_anti_join(),
         "geo_pip": sql_geo_pip(),
         "geo_knn_brute": sql_geo_knn_brute(),
+        "geo_tile_bounds": sql_geo_tile_bounds(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_minhash_signatures": sql_minhash_signatures(),
         "dedup_minhash_lsh_pairs": sql_minhash_lsh_pairs(),
@@ -907,7 +1031,9 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q1": sql_tpch_q1(),
         "tpch_q3": sql_tpch_q3(),
         "tpch_q5ish": sql_tpch_q5ish(),
+        "tpch_q6": sql_tpch_q6(),
         "events_hourly": sql_events_hourly(),
+        "events_sessions": sql_events_sessions(),
         "events_props": sql_events_props(),
         "window_topk_orders": sql_window_topk_orders(),
         # mosaic_assignments / multimodal_image_check: rows-only by design
