@@ -322,10 +322,13 @@ def sql_geo_pip():
 
 
 def q_geo_knn_brute(spark, sf_dir):
-    """J3 exact kNN: 3 nearest customer points per supplier point."""
-    from mosaic_engine.udfs import make_scalar_udfs
+    """J3 exact kNN: 3 nearest customer points per supplier point.
 
-    u = make_scalar_udfs()
+    Uses the engine's codegen haversine expression (ops.haversine_expr)
+    — the JVM-side fast path; the Arrow-UDF kernel variant is exercised
+    by ops.knn_bruteforce/knn_join in the pytest suite."""
+    from mosaic_engine import ops as _ops
+
     s = _t(spark, sf_dir, "supplier").select(
         "s_suppkey",
         ((F.pmod(F.col("s_suppkey") * 4409, F.lit(34000))) / 100.0 - 170.0 + 0.007).alias("qx"),
@@ -337,7 +340,7 @@ def q_geo_knn_brute(spark, sf_dir):
         spark.sparkContext.defaultParallelism
     )
     scored = c.crossJoin(F.broadcast(s)).withColumn(
-        "dist_m", u["haversine_m"]("qx", "qy", "px", "py")
+        "dist_m", _ops.haversine_expr("qx", "qy", "px", "py")
     )
     # two-phase salted top-k: local top-3 per (key, salt) bounds the data
     # entering the final per-key merge (no giant per-key arrays at scale)

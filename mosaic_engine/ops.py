@@ -404,3 +404,15 @@ def mosaic_rollup(tiles: DataFrame) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.countDistinct("image_id").alias("n_scenes"),
     )
+
+
+def haversine_expr(lon1, lat1, lon2, lat2) -> Column:
+    """G9 as a pure Column expression — stays in whole-stage codegen
+    (no Arrow hop); same float64 formula as geometry.haversine_m."""
+    l1, p1 = F.radians(lon1), F.radians(lat1)
+    l2, p2 = F.radians(lon2), F.radians(lat2)
+    a = (
+        F.sin((p2 - p1) / 2) * F.sin((p2 - p1) / 2)
+        + F.cos(p1) * F.cos(p2) * F.sin((l2 - l1) / 2) * F.sin((l2 - l1) / 2)
+    )
+    return 2.0 * 6371008.8 * F.asin(F.sqrt(F.least(a, F.lit(1.0))))

@@ -41,6 +41,12 @@ CONFIGS = {
         bounds_filter=(-128.0, 26.0, -114.0, 36.0),
         max_assets_per_tile=5,
     ),
+    "summer_t1_z7": dict(
+        quadkey_zoom=7,
+        preference="newest",
+        seasons=("summer",),
+        tier_only=True,
+    ),
 }
 
 

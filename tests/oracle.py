@@ -255,6 +255,15 @@ def rank_key(scene: dict, preference: str, closest_date=None):
     return (pref, scene["cloud_cover"], scene["image_id"])
 
 
+SEASON_MONTHS = {
+    "winter": (12, 1, 2),
+    "spring": (3, 4, 5),
+    "summer": (6, 7, 8),
+    "autumn": (9, 10, 11),
+    "fall": (9, 10, 11),
+}
+
+
 def features_to_mosaic(
     scenes: list[dict],
     quadkey_zoom: int = 8,
@@ -266,9 +275,16 @@ def features_to_mosaic(
     max_cloud: float = 100.0,
     bounds_filter=None,
     max_assets_per_tile: int | None = None,
+    seasons: tuple = (),
+    tier_only: bool = False,
 ) -> dict:
     """Pure-Python mirror of [ref: mosaic.py#features_to_mosaicJSON]."""
     kept = [s for s in scenes if s["cloud_cover"] <= max_cloud]
+    if seasons:
+        months = {m for sn in seasons for m in SEASON_MONTHS[sn]}
+        kept = [s for s in kept if s["acquisition_date"].month in months]
+    if tier_only:
+        kept = [s for s in kept if "_T1" in s["image_id"]]
     if bounds_filter is not None:
         w, s_, e, n = bounds_filter
         kept = [

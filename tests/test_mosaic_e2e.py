@@ -32,6 +32,9 @@ CONFIGS = {
         bounds=(-128.0, 26.0, -114.0, 36.0),
         max_assets_per_tile=5,
     ),
+    "summer_t1_z7": dict(
+        quadkey_zoom=7, preference="newest", seasons=("summer",), tier_only=True
+    ),
 }
 
 
@@ -48,6 +51,8 @@ def _oracle_doc(scene_records, cfg: MosaicConfig) -> dict:
         max_cloud=cfg.max_cloud,
         bounds_filter=cfg.bounds,
         max_assets_per_tile=cfg.max_assets_per_tile,
+        seasons=cfg.seasons,
+        tier_only=cfg.tier_only,
     )
 
 

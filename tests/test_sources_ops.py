@@ -195,3 +195,69 @@ def test_catalog_parquet_roundtrip(spark, tmp_path):
     assert back.count() == 10
     with pytest.raises(RuntimeError, match="iceberg"):
         catalog.read_table(spark, "db.t", fmt="iceberg")
+
+
+def test_create_from_db_path_e2e(spark, scenes_df, scene_records):
+    """E2: bbox-only rows + WRS-2 dim join → same mosaic as with stored
+    footprints, because the dim footprints are fed to the oracle too."""
+    from pyspark.sql import functions as F
+
+    bare = scenes_df.select(
+        "image_id", "path", "row", "acquisition_date", "cloud_cover"
+    ).limit(60)
+    wrs2 = sources.wrs2_dim(spark, paths=6, rows=6)
+    filled = sources.attach_wrs2_footprints(bare, wrs2)
+    cfg = MosaicConfig(quadkey_zoom=7)
+    doc, _ = mz.build_mosaic(filled.filter(F.col("fp_xs").isNotNull()), cfg)
+
+    from tests import oracle
+
+    wrs = {(r["path"], r["row"]): r for r in wrs2.collect()}
+    recs = []
+    for r in scene_records:
+        key = (r["path"], r["row"])
+        if key not in wrs:
+            continue
+        w = wrs[key]
+        recs.append(
+            {
+                **r,
+                "fp_xs": list(w["w_fp_xs"]),
+                "fp_ys": list(w["w_fp_ys"]),
+                "min_lon": w["w_min_lon"],
+                "min_lat": w["w_min_lat"],
+                "max_lon": w["w_max_lon"],
+                "max_lat": w["w_max_lat"],
+            }
+        )
+    ids = {r["image_id"] for r in bare.collect()}
+    recs = [r for r in recs if r["image_id"] in ids]
+    odoc = oracle.features_to_mosaic(recs, quadkey_zoom=7)
+    assert mz.canonical_json(doc) == oracle.canonical_json(odoc)
+
+
+def test_haversine_expr_matches_kernel(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mosaic_engine import geometry as geo
+
+    rng = np.random.default_rng(2)
+    rows = [
+        (float(a), float(b), float(c), float(d))
+        for a, b, c, d in zip(
+            rng.uniform(-180, 180, 50),
+            rng.uniform(-85, 85, 50),
+            rng.uniform(-180, 180, 50),
+            rng.uniform(-85, 85, 50),
+        )
+    ]
+    df = spark.createDataFrame(rows, ["lon1", "lat1", "lon2", "lat2"])
+    got = [
+        r["d"]
+        for r in df.select(
+            ops.haversine_expr("lon1", "lat1", "lon2", "lat2").alias("d")
+        ).collect()
+    ]
+    exp = geo.haversine_m(*(np.array(c) for c in zip(*rows)))
+    assert np.allclose(got, exp, rtol=1e-12)
