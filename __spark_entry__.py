@@ -399,13 +399,22 @@ def q_minhash_signatures(spark, sf_dir):
     return textops.minhash_signatures(_t(spark, sf_dir, "documents"))
 
 
+SHINGLES_SQL = (
+    "SELECT doc_id, unnest(list_transform(generate_series(1, len(lst) - 1), "
+    "i -> lst[i] || '_' || lst[i + 1])) AS shingle FROM "
+    "(SELECT doc_id, list_filter(string_split_regex(lower(text), "
+    "'[^a-z0-9'']+'), x -> x <> '') AS lst FROM documents) "
+    "WHERE len(lst) >= 2"
+)
+
+
 def sql_minhash_signatures():
-    code = token_code_sql("token")
+    code = token_code_sql("shingle", textops.SHINGLE_PREFIX)
     mins = ", ".join(
         f"min(({a} * {code} + {b}) % {P}) AS mh{j}"
         for j, (a, b) in enumerate(textops.MINHASH_AB)
     )
-    return f"SELECT doc_id, {mins} FROM ({textops.TOKENS_SQL}) GROUP BY doc_id"
+    return f"SELECT doc_id, {mins} FROM ({SHINGLES_SQL}) GROUP BY doc_id"
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):

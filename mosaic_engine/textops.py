@@ -19,7 +19,8 @@ from pyspark.sql import functions as F
 
 P = 1_000_000_007
 HASH_PREFIX = 8
-POW31 = [pow(31, i, P) for i in range(HASH_PREFIX)]
+SHINGLE_PREFIX = 12  # shingles are longer strings; hash a longer prefix
+POW31 = [pow(31, i, P) for i in range(max(HASH_PREFIX, SHINGLE_PREFIX))]
 TOKEN_SPLIT = "[^a-z0-9']+"
 # (a, b) pairs for minhash permutations h_j(c) = (a_j * c + b_j) mod P
 MINHASH_AB = [
@@ -52,13 +53,13 @@ def tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
     ).filter(F.col("token") != "")
 
 
-def token_code(col: Column) -> Column:
+def token_code(col: Column, prefix: int = HASH_PREFIX) -> Column:
     """Deterministic polynomial code of a token (mod P), same formula as
     the SQL oracle: sum_i ascii(substr(token, i, 1)) * 31^(i-1) mod P."""
     terms = [
         F.coalesce(F.ascii(F.substring(col, i + 1, 1)), F.lit(0)).cast("long")
         * F.lit(POW31[i]).cast("long")
-        for i in range(HASH_PREFIX)
+        for i in range(prefix)
     ]
     s = terms[0]
     for t in terms[1:]:
@@ -66,12 +67,12 @@ def token_code(col: Column) -> Column:
     return F.pmod(s, F.lit(P).cast("long"))
 
 
-def token_code_sql(expr: str) -> str:
+def token_code_sql(expr: str, prefix: int = HASH_PREFIX) -> str:
     """The identical formula as ANSI SQL over token expression `expr`."""
     terms = " + ".join(
         f"CAST(coalesce(ascii(substr({expr}, {i + 1}, 1)), 0) AS BIGINT) "
         f"* CAST({POW31[i]} AS BIGINT)"
-        for i in range(HASH_PREFIX)
+        for i in range(prefix)
     )
     return f"(({terms}) % {P})"
 
@@ -81,6 +82,28 @@ TOKENS_SQL = (
     "unnest(string_split_regex(lower(text), '[^a-z0-9'']+')) AS t(tok) "
     "WHERE tok <> ''"
 )
+
+
+def shingles(docs: DataFrame, w: int = 2) -> DataFrame:
+    """(doc_id, shingle) — w-word shingles (standard w-shingling for
+    MinHash; unigram sets degenerate on shared-vocabulary corpora)."""
+    from pyspark.sql import Window
+
+    t = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), TOKEN_SPLIT)).alias(
+            "pos", "token"
+        ),
+    ).filter(F.col("token") != "")
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("token")] + [
+        F.lead("token", k).over(win) for k in range(1, w)
+    ]
+    return (
+        t.select("doc_id", F.concat_ws("_", *parts).alias("shingle"))
+        .filter(~F.col("shingle").endswith("_"))  # drop tail partials
+        .filter(F.size(F.split("shingle", "_")) == w)
+    )
 
 
 def dedup_exact(docs: DataFrame) -> DataFrame:
@@ -96,8 +119,10 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """Per-doc minhash signature columns mh0..mh{J-1}."""
-    t = tokens(docs).withColumn("code", token_code(F.col("token")))
+    """Per-doc minhash signature columns mh0..mh{J-1} over 2-shingles."""
+    t = shingles(docs).withColumn(
+        "code", token_code(F.col("shingle"), SHINGLE_PREFIX)
+    )
     aggs = [
         F.min(
             F.pmod(
