@@ -133,6 +133,9 @@ def main(argv=None):
     kp.add_argument("--out", required=True)
     kp.add_argument("--level", type=int, default=5)
 
+    info = sub.add_parser("info", help="stats for a built mosaic dir (A5)")
+    info.add_argument("--out", required=True, help="build output dir")
+
     g = sub.add_parser("gen", help="write deterministic fixture tables")
     g.add_argument("--out", required=True)
     g.add_argument("--n-scenes", type=int, default=200)
@@ -165,6 +168,19 @@ def main(argv=None):
             os.path.join(a.out, "vector_tiles.parquet"),
         )
         print(json.dumps({"written": a.out}))
+        return 0
+
+    if a.cmd == "info":
+        from . import checkpoint
+
+        with open(os.path.join(a.out, "metrics.json")) as f:
+            metrics = json.load(f)
+        mans = checkpoint.read_manifests(a.out)
+        metrics["prefixes"] = {
+            p: {"n_tiles": m["n_tiles"], "n_assignments": m["n_assignments"]}
+            for p, m in sorted(mans.items())
+        }
+        print(json.dumps(metrics, indent=2))
         return 0
 
     spark = make_session(cores=a.cores)

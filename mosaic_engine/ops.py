@@ -416,3 +416,35 @@ def haversine_expr(lon1, lat1, lon2, lat2) -> Column:
         + F.cos(p1) * F.cos(p2) * F.sin((l2 - l1) / 2) * F.sin((l2 - l1) / 2)
     )
     return 2.0 * 6371008.8 * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
+
+
+def assets_for_tile(
+    assign: DataFrame, tx: int, ty: int, z: int, quadkey_zoom: int
+) -> list[str]:
+    """Tile-read path (the mosaicJSON consumer contract, as in the
+    public cogeo-mosaic backend's get_assets): a request at z >
+    quadkey_zoom resolves to its ANCESTOR quadkey; at z < quadkey_zoom
+    it unions its DESCENDANT quadkeys, preserving per-quadkey rank order
+    and de-duplicating assets on first appearance."""
+    from . import tilemath as tm
+
+    if z >= quadkey_zoom:
+        px, py, _ = tm.parent_tile([tx], [ty], z, z - quadkey_zoom)
+        qk = tm.tile_to_quadkey(px, py, quadkey_zoom)[0]
+        rows = assign.filter(F.col("quadkey") == qk).select("assets").collect()
+        return list(rows[0]["assets"]) if rows else []
+    prefix = tm.tile_to_quadkey([tx], [ty], z)[0] if z > 0 else ""
+    rows = (
+        assign.filter(F.col("quadkey").startswith(prefix))
+        .select("quadkey", "assets")
+        .orderBy("quadkey")
+        .collect()
+    )
+    out: list[str] = []
+    seen = set()
+    for r in rows:
+        for a in r["assets"]:
+            if a not in seen:
+                seen.add(a)
+                out.append(a)
+    return out

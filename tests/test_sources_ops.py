@@ -261,3 +261,39 @@ def test_haversine_expr_matches_kernel(spark):
     ]
     exp = geo.haversine_m(*(np.array(c) for c in zip(*rows)))
     assert np.allclose(got, exp, rtol=1e-12)
+
+
+def test_assets_for_tile_lookup(spark, scenes_df, scene_records):
+    from tests import oracle
+
+    cfg = MosaicConfig(quadkey_zoom=7)
+    doc, assign = mz.build_mosaic(scenes_df, cfg)
+    # child tile at z=9 resolves to its z=7 ancestor's assets
+    some_qk = sorted(doc["tiles"])[3]
+    tx, ty, _ = oracle.quadkey_to_tile(some_qk)
+    got = ops.assets_for_tile(assign, tx * 4 + 1, ty * 4 + 2, 9, 7)
+    assert got == doc["tiles"][some_qk]
+    # parent tile at z=5 unions the rank-ordered children, deduped
+    p5 = some_qk[:5]
+    px, py, _ = oracle.quadkey_to_tile(p5)
+    got = ops.assets_for_tile(assign, px, py, 5, 7)
+    exp, seen = [], set()
+    for qk in sorted(k for k in doc["tiles"] if k.startswith(p5)):
+        for a in doc["tiles"][qk]:
+            if a not in seen:
+                seen.add(a)
+                exp.append(a)
+    assert got == exp
+    # miss → empty
+    assert ops.assets_for_tile(assign, 0, 0, 9, 7) == []
+
+
+def test_coverage_quadkeys_semi_join(spark, scenes_df):
+    cfg = MosaicConfig(quadkey_zoom=7)
+    _, assign = mz.build_mosaic(scenes_df, cfg)
+    qks = [r["quadkey"] for r in assign.select("quadkey").limit(3).collect()]
+    probe = spark.createDataFrame(
+        [(q,) for q in qks] + [("0000000",)], ["quadkey"]
+    )
+    got = {r["quadkey"] for r in ops.coverage_quadkeys(probe, assign).collect()}
+    assert got == set(qks)
