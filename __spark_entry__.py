@@ -12,9 +12,20 @@ tests/golden + tests/oracle.py).
 """
 
 import os
+import sys
 from collections.abc import Callable
 
 import pandas as pd
+
+# Python workers must be able to import mosaic_engine no matter where
+# the driver process was launched from (spark-submit --py-files is the
+# cluster equivalent of this)
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+_prev = os.environ.get("PYTHONPATH", "")
+if _REPO not in _prev.split(os.pathsep):
+    os.environ["PYTHONPATH"] = f"{_REPO}{os.pathsep}{_prev}" if _prev else _REPO
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
