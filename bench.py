@@ -81,6 +81,22 @@ def main():
 
     row = timed("mosaic_build_synthetic", mosaic_build)
     n_assign = int(row["sum(n_assets)"] or 0)
+
+    # cell-banded kNN over the synthetic scenes (J3 at scale shape)
+    from mosaic_engine import datagen
+
+    import pyarrow.parquet as pq_
+
+    qpath = os.path.join(CACHE, "knn_queries.parquet")
+    if not os.path.exists(qpath):
+        datagen.write_parquet(datagen.gen_knn_queries(n=500, seed=42), qpath)
+    knn_queries = spark.read.parquet(qpath)
+    # band at level 8 (~1.4° cells): ~50 candidates/probe at this scene
+    # density; ring expansion covers sparse probes
+    timed(
+        "knn_banded_synthetic",
+        lambda: ops.knn_join(scenes, knn_queries, level=8).count(),
+    )
     extras["n_scenes"] = N_SCENES
     extras["n_assignments"] = n_assign
     extras["tiles_per_sec"] = round(n_assign / times["mosaic_build_synthetic"], 1)

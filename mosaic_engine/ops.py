@@ -248,11 +248,16 @@ def knn_join(
         "image_id",
         ((F.col("min_lon") + F.col("max_lon")) / 2).alias("slon"),
         ((F.col("min_lat") + F.col("max_lat")) / 2).alias("slat"),
-    )
+    ).cache()  # reused by every ring-expansion round
     kcol = F.lit(k) if k is not None else F.col("k")
 
+    # Per-round DONE rows are collected to the driver: the output is
+    # bounded by |queries| * k by contract, and materializing each round
+    # keeps the iterative plan's lineage flat (a pure-DataFrame loop
+    # re-evaluates every earlier round's anti-join chain each action).
+    spark = scenes.sparkSession
     remaining = queries
-    results = None
+    out_rows: list = []
     lv = level
     while lv >= 0:
         sc = cent.withColumn("cell", u["cell_id"]("slon", "slat", F.lit(lv)))
@@ -268,59 +273,58 @@ def knn_join(
             "dist_m", u["haversine_m"]("lon", "lat", "slon", "slat")
         )
         # top-k per query via sorted-struct aggregation (no window)
-        topk = (
-            scored.groupBy("query_id")
-            .agg(
-                F.slice(
-                    F.sort_array(
-                        F.collect_list(
-                            F.struct(
-                                F.col("dist_m"), F.col("image_id")
-                            )
-                        )
-                    ),
-                    1,
-                    F.max(kcol),
-                ).alias("nn"),
-                F.max(kcol).alias("k_req"),
-                F.count("*").alias("n_cand"),
-            )
+        topk = scored.groupBy("query_id", "lat").agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("dist_m"), F.col("image_id")))
+                ),
+                1,
+                F.max(kcol),
+            ).alias("nn"),
+            F.max(kcol).alias("k_req"),
+            F.count("*").alias("n_cand"),
         )
         # a query is DONE when its band produced ≥k candidates AND its
-        # k-th distance is ≤ the band's guaranteed-covered radius (one
-        # tile height at this level around the probe — conservative).
+        # k-th distance is ≤ the band's guaranteed-covered radius: the
+        # 3x3 ring covers at least one full tile in every direction, and
+        # a web-mercator tile near latitude φ spans ≥ tile_deg·cos(φ)
+        # ground degrees in both axes (0.95 safety factor).
         if lv == 0:
             done = topk
-            rest = None
         else:
-            # min tile extent at this level near the probe, in meters:
-            # conservative lower bound = 360/2^lv degrees * 111km * cos(85°)
-            guard_m = (360.0 / (1 << lv)) * 111_000.0 * 0.0871557
+            tile_deg = 360.0 / (1 << lv)
+            guard_m = (
+                F.lit(tile_deg * 111_000.0 * 0.95)
+                * F.cos(F.radians(F.col("lat")))
+            )
             done = topk.filter(
                 (F.col("n_cand") >= F.col("k_req"))
                 & (F.element_at("nn", F.col("k_req"))["dist_m"] <= guard_m)
             )
-            rest = topk.join(done, "query_id", "left_anti")
-        out = done.select(
-            "query_id", F.posexplode("nn").alias("pos", "nn")
-        ).select(
-            "query_id",
-            (F.col("pos") + 1).alias("rank"),
-            F.col("nn.image_id").alias("image_id"),
-            F.col("nn.dist_m").alias("dist_m"),
-        )
-        results = out if results is None else results.unionByName(out)
-        if rest is None:
+        done_rows = done.select("query_id", "nn").collect()
+        for r in done_rows:
+            for pos, nn in enumerate(r["nn"]):
+                out_rows.append(
+                    (r["query_id"], pos + 1, nn["image_id"], nn["dist_m"])
+                )
+        if lv == 0:
             break
-        # NOT semi-join on `rest`: probes with zero candidates at this
-        # level appear in neither done nor rest and must stay remaining
-        remaining = remaining.join(
-            done.select("query_id"), "query_id", "left_anti"
-        )
-        lv -= 1
-        if lv < 0:
+        done_ids = {r["query_id"] for r in done_rows}
+        remaining = remaining.filter(~F.col("query_id").isin(list(done_ids)) if done_ids else F.lit(True))
+        if done_ids and remaining.limit(1).count() == 0:
             break
-    return results
+        lv -= 2  # expand the ring 4x per round
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema["query_id"].dataType),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("image_id", T.StringType()),
+            T.StructField("dist_m", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(out_rows, schema)
 
 
 def knn_bruteforce(
@@ -332,7 +336,7 @@ def knn_bruteforce(
         "image_id",
         ((F.col("min_lon") + F.col("max_lon")) / 2).alias("slon"),
         ((F.col("min_lat") + F.col("max_lat")) / 2).alias("slat"),
-    )
+    ).cache()  # reused by every ring-expansion round
     kcol = F.lit(k) if k is not None else F.col("k")
     scored = cent.crossJoin(F.broadcast(queries)).withColumn(
         "dist_m", u["haversine_m"]("lon", "lat", "slon", "slat")

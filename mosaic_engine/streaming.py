@@ -41,6 +41,20 @@ def run_incremental(
     (checkpointed source offsets).
     """
     os.makedirs(work_dir, exist_ok=True)
+    # the tiles log is config-specific: appending explodes from a
+    # different quadkey_zoom/filters would silently corrupt it
+    cfg_file = os.path.join(work_dir, "config_hash")
+    h = cfg.config_hash()
+    if os.path.exists(cfg_file):
+        prev = open(cfg_file).read().strip()
+        if prev != h:
+            raise ValueError(
+                f"work_dir {work_dir} was built with config {prev}; "
+                f"current config is {h} — use a fresh work_dir"
+            )
+    else:
+        with open(cfg_file, "w") as f:
+            f.write(h)
     schema = spark.read.parquet(scenes_dir).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:

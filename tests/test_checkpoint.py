@@ -62,3 +62,32 @@ def test_metrics_file_written(spark, scenes_df, tmp_path):
     assert on_disk["n_assignments"] == m["n_assignments"] > 0
     with open(os.path.join(out, "mosaic.json")) as f:
         assert f.read().startswith('{"attribution"')
+
+
+def test_input_change_invalidates(spark, scenes_df, tmp_path, fixture_dir):
+    """New input files → input_hash differs → full recompute."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from mosaic_engine import datagen
+
+    src = str(tmp_path / "scenes_dir")
+    os.makedirs(src)
+    shutil.copy(
+        os.path.join(fixture_dir, "scenes.parquet"),
+        os.path.join(src, "a.parquet"),
+    )
+    df1 = spark.read.parquet(src)
+    out = str(tmp_path / "ck")
+    cfg = MosaicConfig(quadkey_zoom=7)
+    _, m1 = checkpoint.build_with_checkpoint(spark, df1, cfg, out)
+    # add a file → snapshot hash changes → resume skips nothing
+    datagen.write_parquet(
+        datagen.gen_scenes(n_scenes=20, paths=2, rows=2, seed=9),
+        os.path.join(src, "b.parquet"),
+    )
+    df2 = spark.read.parquet(src)
+    _, m2 = checkpoint.build_with_checkpoint(spark, df2, cfg, out, resume=True)
+    assert m2["input_hash"] != m1["input_hash"]
+    assert m2["n_prefixes_skipped"] == 0

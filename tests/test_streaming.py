@@ -42,3 +42,20 @@ def test_streaming_incremental_matches_batch(spark, tmp_path):
     assert n3 == 0
     doc3 = streaming.finalize(spark, scenes_dir, cfg, work)
     assert mz.canonical_json(doc3) == mz.canonical_json(batch_doc)
+
+
+def test_streaming_rejects_config_change(spark, tmp_path):
+    import pytest
+
+    scenes_dir = str(tmp_path / "s")
+    os.makedirs(scenes_dir)
+    datagen.write_parquet(
+        datagen.gen_scenes(n_scenes=20, paths=2, rows=2, seed=1),
+        os.path.join(scenes_dir, "p.parquet"),
+    )
+    work = str(tmp_path / "w")
+    streaming.run_incremental(spark, scenes_dir, MosaicConfig(quadkey_zoom=7), work)
+    with pytest.raises(ValueError, match="fresh work_dir"):
+        streaming.run_incremental(
+            spark, scenes_dir, MosaicConfig(quadkey_zoom=8), work
+        )
