@@ -85,8 +85,6 @@ def main():
     # cell-banded kNN over the synthetic scenes (J3 at scale shape)
     from mosaic_engine import datagen
 
-    import pyarrow.parquet as pq_
-
     qpath = os.path.join(CACHE, "knn_queries.parquet")
     if not os.path.exists(qpath):
         datagen.write_parquet(datagen.gen_knn_queries(n=500, seed=42), qpath)
