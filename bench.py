@@ -19,20 +19,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-N_SCENES = int(os.environ.get("BENCH_SCENES", "100000"))
+N_SCENES = int(os.environ.get("BENCH_SCENES", "1000000"))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
 
 def bench_scenes_path() -> str:
     os.makedirs(CACHE, exist_ok=True)
-    path = os.path.join(CACHE, f"scenes_{N_SCENES}.parquet")
+    path = os.path.join(CACHE, f"scenes_bulk_{N_SCENES}.parquet")
     if not os.path.exists(path):
         from mosaic_engine import datagen
 
-        # 50x20 grid keeps footprints inside valid latitudes (25..61°N)
-        t = datagen.gen_scenes(
-            n_scenes=N_SCENES, paths=50, rows=20, seed=42, payload=False
-        )
+        # vectorized generator; 50x20 grid keeps footprints inside
+        # valid latitudes (25..61°N)
+        t = datagen.gen_scenes_bulk(N_SCENES, paths=50, rows=20, seed=42)
         datagen.write_parquet(t, path)
     return path
 
@@ -72,7 +71,8 @@ def main():
     # flagship: mosaic build (assignment count == produced tile rows).
     # repartition: the cached fixture is ONE parquet file (< one split);
     # real inputs arrive as many files, so spread it across the cores.
-    scenes = spark.read.parquet(scenes_path).repartition(int(CPUS) * 4)
+    scenes = spark.read.parquet(scenes_path).repartition(int(CPUS) * 4).cache()
+    scenes.count()  # materialize: IO/repartition excluded from measures
     cfg = ops.MosaicConfig(quadkey_zoom=8, optimized_selection=False)
 
     def mosaic_build():

@@ -101,3 +101,46 @@ def missing_quadkeys_geojson(
         )
     doc = {"type": "FeatureCollection", "features": feats}
     return canonical_json(doc), miss
+
+
+def validate_mosaic(doc: dict) -> list[str]:
+    """MosaicJSON v0.0.2 structural validation (the public spec's
+    required fields + engine invariants). Returns a list of problems —
+    empty means valid."""
+    errs = []
+    for field_, typ in (
+        ("mosaicjson", str),
+        ("minzoom", int),
+        ("maxzoom", int),
+        ("quadkey_zoom", int),
+        ("bounds", list),
+        ("center", list),
+        ("tiles", dict),
+    ):
+        if field_ not in doc:
+            errs.append(f"missing field {field_}")
+        elif not isinstance(doc[field_], typ):
+            errs.append(f"field {field_} has type {type(doc[field_]).__name__}")
+    if errs:
+        return errs
+    if doc["mosaicjson"] != "0.0.2":
+        errs.append(f"unsupported version {doc['mosaicjson']}")
+    if not (0 <= doc["minzoom"] <= doc["maxzoom"] <= 30):
+        errs.append("minzoom/maxzoom out of order or range")
+    if not (doc["minzoom"] <= doc["quadkey_zoom"] <= doc["maxzoom"]):
+        errs.append("quadkey_zoom outside [minzoom, maxzoom]")
+    w, s, e, n = doc["bounds"]
+    if not (-180 <= w <= e <= 180 and -90 <= s <= n <= 90):
+        errs.append(f"invalid bounds {doc['bounds']}")
+    qz = doc["quadkey_zoom"]
+    for qk, assets in doc["tiles"].items():
+        if len(qk) != qz or any(c not in "0123" for c in qk):
+            errs.append(f"bad quadkey {qk!r}")
+            break
+        if not assets or not all(isinstance(a, str) for a in assets):
+            errs.append(f"bad asset list at {qk!r}")
+            break
+        if len(set(assets)) != len(assets):
+            errs.append(f"duplicate assets at {qk!r}")
+            break
+    return errs

@@ -235,3 +235,15 @@ def test_salt_buckets_invariance_on_hotspot(spark, scenes_df, scene_records):
         doc, _ = mz.build_mosaic(scenes_df, cfg)
         docs.append(mz.canonical_json(doc))
     assert docs[0] == docs[1] == docs[2]
+
+
+def test_validate_mosaic(spark, scenes_df):
+    cfg = MosaicConfig(quadkey_zoom=7, minzoom=7)
+    doc, _ = mz.build_mosaic(scenes_df, cfg)
+    assert mz.validate_mosaic(doc) == []
+    bad = dict(doc)
+    bad["quadkey_zoom"] = 3
+    assert any("quadkey" in e for e in mz.validate_mosaic(bad))
+    bad2 = dict(doc)
+    bad2.pop("bounds")
+    assert any("bounds" in e for e in mz.validate_mosaic(bad2))
