@@ -976,6 +976,56 @@ def q_mosaic_assignments(spark, sf_dir):
     return ops.assignments_relational(assign)
 
 
+def _engine_aux(spark, name):
+    """Deterministic aux fixtures (land/knn_queries/vector_tiles)."""
+    if name not in _FIXTURE_CACHE:
+        import tempfile
+
+        from mosaic_engine import datagen
+
+        d = tempfile.mkdtemp(prefix="entry_aux_")
+        gens = {
+            "land": datagen.gen_land(42),
+            "knn_queries": datagen.gen_knn_queries(n=60, seed=42),
+            "vector_tiles": datagen.gen_vector_tiles(n=120, seed=42),
+        }
+        path = os.path.join(d, f"{name}.parquet")
+        datagen.write_parquet(gens[name], path)
+        _FIXTURE_CACHE[name] = path
+    return spark.read.parquet(_FIXTURE_CACHE[name])
+
+
+def q_rv_join(spark, sf_dir):
+    """J4 raster↔vector quadkey equi-join (rows-only; oracle = pytest
+    brute-force set comparison in tests/test_knn_rv.py)."""
+    from mosaic_engine import ops
+
+    return ops.raster_vector_join(
+        _engine_scenes(spark), _engine_aux(spark, "vector_tiles"), 8
+    )
+
+
+def q_knn_banded(spark, sf_dir):
+    """J3 cell-banded kNN with ring expansion (rows-only; oracle =
+    pytest scalar brute-force in tests/test_knn_rv.py)."""
+    from mosaic_engine import ops
+
+    return ops.knn_join(
+        _engine_scenes(spark), _engine_aux(spark, "knn_queries"), level=5
+    )
+
+
+def q_missing_quadkeys(spark, sf_dir):
+    """J5/E3 anti-join gap detection (rows-only; oracle = pytest
+    constructed-set comparison in tests/test_mosaic_e2e.py)."""
+    from mosaic_engine import mosaic as mz
+    from mosaic_engine import ops
+
+    cfg = ops.MosaicConfig(quadkey_zoom=7)
+    assign = mz.quadkey_assignments(_engine_scenes(spark), cfg)
+    return ops.missing_quadkeys(_engine_aux(spark, "land"), assign, 7)
+
+
 def q_multimodal_image_check(spark, sf_dir):
     """Image payload invariants (rows-only: binary ops not in SQL)."""
     from mosaic_engine import udfs
@@ -1024,6 +1074,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props": q_events_props,
         "window_topk_orders": q_window_topk_orders,
         "mosaic_assignments": q_mosaic_assignments,
+        "rv_join": q_rv_join,
+        "knn_banded": q_knn_banded,
+        "missing_quadkeys": q_missing_quadkeys,
         "multimodal_image_check": q_multimodal_image_check,
     }
 

@@ -249,7 +249,8 @@ def knn_join(
         ((F.col("min_lon") + F.col("max_lon")) / 2).alias("slon"),
         ((F.col("min_lat") + F.col("max_lat")) / 2).alias("slat"),
     ).cache()  # reused by every ring-expansion round
-    kcol = F.lit(k) if k is not None else F.col("k")
+    # element_at/slice ordinals must be INT (queries may carry k as long)
+    kcol = (F.lit(k) if k is not None else F.col("k")).cast("int")
 
     # Per-round DONE rows are collected to the driver: the output is
     # bounded by |queries| * k by contract, and materializing each round
@@ -337,7 +338,8 @@ def knn_bruteforce(
         ((F.col("min_lon") + F.col("max_lon")) / 2).alias("slon"),
         ((F.col("min_lat") + F.col("max_lat")) / 2).alias("slat"),
     ).cache()  # reused by every ring-expansion round
-    kcol = F.lit(k) if k is not None else F.col("k")
+    # element_at/slice ordinals must be INT (queries may carry k as long)
+    kcol = (F.lit(k) if k is not None else F.col("k")).cast("int")
     scored = cent.crossJoin(F.broadcast(queries)).withColumn(
         "dist_m", u["haversine_m"]("lon", "lat", "slon", "slat")
     )

@@ -113,3 +113,24 @@ def test_rv_join_matches_oracle(spark, scenes_df, scene_records, fixture_dir):
             for qk in sq & qs:
                 exp.add((qk, s["image_id"], fid))
     assert got == exp
+
+
+def test_knn_tiebreak_by_image_id(spark):
+    """Equal distances break ties by image_id ascending."""
+    from pyspark.sql import Row
+
+    scenes = spark.createDataFrame(
+        [
+            Row(image_id="B", min_lon=9.0, max_lon=11.0, min_lat=-1.0, max_lat=1.0),
+            Row(image_id="A", min_lon=9.0, max_lon=11.0, min_lat=-1.0, max_lat=1.0),
+            Row(image_id="C", min_lon=19.0, max_lon=21.0, min_lat=-1.0, max_lat=1.0),
+        ]
+    )
+    queries = spark.createDataFrame(
+        [Row(query_id=0, lon=10.0, lat=0.0, k=2)]
+    )
+    for fn in (ops.knn_bruteforce, lambda s, q: ops.knn_join(s, q, level=6)):
+        got = sorted(
+            (r["rank"], r["image_id"]) for r in fn(scenes, queries).collect()
+        )
+        assert got == [(1, "A"), (2, "B")]
