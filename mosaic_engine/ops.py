@@ -228,7 +228,6 @@ def knn_join(
     queries: DataFrame,
     k: int | None = None,
     level: int = 5,
-    max_rounds: int = 4,
 ) -> DataFrame:
     """J3: k nearest scenes (by footprint-centroid haversine) per query.
 
@@ -314,7 +313,10 @@ def knn_join(
         remaining = remaining.filter(~F.col("query_id").isin(list(done_ids)) if done_ids else F.lit(True))
         if done_ids and remaining.limit(1).count() == 0:
             break
-        lv -= 2  # expand the ring 4x per round
+        # ring expansion schedule: one 8x-coarser retry, then the exact
+        # full-scan fallback — below level 3 a "band" is already most of
+        # the world, so intermediate rounds only repeat near-full scans
+        lv = lv - 3 if lv - 3 >= 3 else 0
     from pyspark.sql import types as T
 
     schema = T.StructType(
