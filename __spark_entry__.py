@@ -353,23 +353,14 @@ def q_geo_knn_brute(spark, sf_dir):
     scored = c.crossJoin(F.broadcast(s)).withColumn(
         "dist_m", _ops.haversine_expr("qx", "qy", "px", "py")
     )
-    # two-phase salted top-k: local top-3 per (key, salt) bounds the data
-    # entering the final per-key merge (no giant per-key arrays at scale)
-    phase1 = scored.withColumn(
-        "salt", F.pmod(F.col("c_custkey"), F.lit(16))
-    ).groupBy("s_suppkey", "salt").agg(
-        F.slice(
-            F.sort_array(F.collect_list(F.struct("dist_m", "c_custkey"))), 1, 3
-        ).alias("part")
-    )
-    topk = phase1.groupBy("s_suppkey").agg(
-        F.slice(F.sort_array(F.flatten(F.collect_list("part"))), 1, 3).alias("nn")
-    )
-    return topk.select("s_suppkey", F.posexplode("nn").alias("pos", "nn")).select(
+    # map-side partial top-k (ops.topk_by_key): the exchange carries
+    # ≤ partitions x keys x k rows instead of all |c|x|s| pairs
+    topk = _ops.topk_by_key(scored, ["s_suppkey"], ["dist_m", "c_custkey"], 3)
+    return topk.select(
         "s_suppkey",
-        (F.col("pos") + 1).alias("rank"),
-        F.col("nn.c_custkey").alias("c_custkey"),
-        F.round(F.col("nn.dist_m"), 3).alias("dist_m"),
+        "rank",
+        "c_custkey",
+        F.round(F.col("dist_m"), 3).alias("dist_m"),
     )
 
 

@@ -456,3 +456,57 @@ def assets_for_tile(
                 seen.add(a)
                 out.append(a)
     return out
+
+
+def topk_by_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    k: int,
+) -> DataFrame:
+    """Exact top-k rows per key with a MANUAL map-side combine.
+
+    collect_list-based top-k shuffles every input row (partial
+    collect_list still carries them all); this op cuts the exchange to
+    ≤ partitions x keys x k rows: an Arrow stage emits each input
+    partition's local top-k per key (pandas nsmallest semantics over
+    the lexicographic order_cols), then one small groupBy finalizes.
+    Ascending order; order_cols must start with the ranking measure and
+    end with a total tiebreak. Returns key_cols + order_cols + rank.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from collections.abc import Iterator
+
+    src = df.select(*key_cols, *order_cols)
+    schema = T.StructType([src.schema[c] for c in key_cols + order_cols])
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: list[pd.DataFrame] = []
+        for pdf in batches:
+            acc.append(
+                pdf.sort_values(order_cols, kind="mergesort")
+                .groupby(key_cols, sort=False)
+                .head(k)
+            )
+        if acc:
+            merged = pd.concat(acc, ignore_index=True)
+            yield (
+                merged.sort_values(order_cols, kind="mergesort")
+                .groupby(key_cols, sort=False)
+                .head(k)
+            )
+
+    pruned = src.mapInPandas(partial, schema=schema)
+    sel = F.struct(*[F.col(c) for c in order_cols]).alias("sel")
+    topk = pruned.groupBy(*key_cols).agg(
+        F.slice(F.sort_array(F.collect_list(sel)), 1, k).alias("nn")
+    )
+    out = topk.select(
+        *key_cols, F.posexplode("nn").alias("pos", "nn")
+    )
+    cols = [F.col(c) for c in key_cols]
+    cols.append((F.col("pos") + 1).alias("rank"))
+    cols.extend(F.col(f"nn.{c}").alias(c) for c in order_cols)
+    return out.select(*cols)

@@ -297,3 +297,36 @@ def test_coverage_quadkeys_semi_join(spark, scenes_df):
     )
     got = {r["quadkey"] for r in ops.coverage_quadkeys(probe, assign).collect()}
     assert got == set(qks)
+
+
+def test_topk_by_key_matches_collect_list(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (int(k), float(v), int(i))
+        for i, (k, v) in enumerate(
+            zip(rng.integers(0, 20, 5000), rng.uniform(0, 1, 5000))
+        )
+    ]
+    df = spark.createDataFrame(rows, ["key", "val", "id"]).repartition(16)
+    got = {
+        (r["key"], r["rank"]): (r["val"], r["id"])
+        for r in ops.topk_by_key(df, ["key"], ["val", "id"], 3).collect()
+    }
+    exp_rows = (
+        df.groupBy("key")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("val", "id"))), 1, 3
+            ).alias("nn")
+        )
+        .select("key", F.posexplode("nn").alias("pos", "nn"))
+        .collect()
+    )
+    exp = {
+        (r["key"], r["pos"] + 1): (r["nn"]["val"], r["nn"]["id"])
+        for r in exp_rows
+    }
+    assert got == exp
