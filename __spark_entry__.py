@@ -508,7 +508,8 @@ def sql_lang_id():
     return (
         f"WITH t AS ({textops.TOKENS_SQL}), "
         f"c AS (SELECT doc_id, {counts} FROM t GROUP BY doc_id), "
-        f"p AS (SELECT doc_id, {pred} AS pred_lang, {best} AS n_markers FROM c) "
+        f"p AS (SELECT doc_id, {pred} AS pred_lang, "
+        f"CAST({best} AS BIGINT) AS n_markers FROM c) "
         "SELECT d.doc_id AS doc_id, pred_lang, n_markers, "
         "(pred_lang = d.lang) AS match_meta "
         "FROM documents d JOIN p ON d.doc_id = p.doc_id"
@@ -563,7 +564,7 @@ def sql_fingerprint():
     return (
         f"WITH t AS (SELECT DISTINCT doc_id, {code} AS code "
         f"FROM ({textops.TOKENS_SQL})) "
-        f"SELECT doc_id, sum(code) % {P} AS fingerprint, "
+        f"SELECT doc_id, CAST(sum(code) % {P} AS BIGINT) AS fingerprint, "
         "count(*) AS n_distinct_tokens FROM t GROUP BY doc_id"
     )
 
@@ -929,7 +930,8 @@ def sql_events_sessions():
         "AS new_session FROM events "
         "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
         "s AS (SELECT user_id, event_id, value, "
-        "sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "CAST(sum(new_session) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
         "AS session_no FROM g) "
         "SELECT user_id, session_no, count(*) AS n_events, "
         "min(event_id) AS first_event, round(sum(value), 4) AS session_value "

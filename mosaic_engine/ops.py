@@ -80,16 +80,24 @@ def filter_scenes(df: DataFrame, cfg: MosaicConfig) -> DataFrame:
     out = df
     if cfg.bounds is not None:
         w, s, e, n = cfg.bounds
-        out = out.filter(
-            (F.col("min_lon") < e)
-            & (F.col("max_lon") > w)
-            & (F.col("min_lat") < n)
-            & (F.col("max_lat") > s)
+        # Normal scenes store min_lon <= max_lon; antimeridian-crossing
+        # scenes store min_lon > max_lon (datagen convention, mirrors
+        # _explode_batch's split). Treat the latter as the union of
+        # [min_lon, 180] and [-180, max_lon].
+        lat_ok = (F.col("min_lat") < n) & (F.col("max_lat") > s)
+        normal = (F.col("min_lon") <= F.col("max_lon")) & (
+            (F.col("min_lon") < e) & (F.col("max_lon") > w)
         )
+        wrapped = (F.col("min_lon") > F.col("max_lon")) & (
+            (F.col("min_lon") < e) | (F.col("max_lon") > w)
+        )
+        out = out.filter(lat_ok & (normal | wrapped))
     if cfg.max_cloud < 100.0 or cfg.min_cloud > 0.0:
+        # Explicit cloud filter requested: null cloud_cover fails it
+        # (unknown quality is excluded, matching the reference CLI).
         out = out.filter(F.col("cloud_cover").between(cfg.min_cloud, cfg.max_cloud))
-    else:
-        out = out.filter(F.col("cloud_cover") <= F.lit(100.0))
+    # No cloud filter requested: keep every scene, including those with
+    # null/missing cloud metadata (previously an implicit <=100 dropped them).
     if cfg.min_date:
         out = out.filter(F.col("acquisition_date") >= F.lit(cfg.min_date))
     if cfg.max_date:

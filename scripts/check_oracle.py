@@ -54,6 +54,12 @@ def compare(name, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
         return errs
     a, b = canon(sdf), canon(odf)
     for c in a.columns:
+        # the driver hashes raw pandas values, so dtype KIND drift
+        # (int64 vs float64 from un-cast DuckDB HUGEINT sums) is a
+        # hash-fail even when values compare equal — flag it here too
+        ak, bk = a[c].dtype.kind, b[c].dtype.kind
+        if ak != bk and {ak, bk} <= {"i", "u", "f"}:
+            errs.append(f"col {c}: dtype kind {a[c].dtype} vs {b[c].dtype}")
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if np.issubdtype(np.asarray(av).dtype, np.floating) or np.issubdtype(
             np.asarray(bv).dtype, np.floating

@@ -15,6 +15,41 @@ from mosaic_engine import ops, sources, udfs
 from mosaic_engine.ops import MosaicConfig
 
 
+def test_filter_scenes_null_cloud_and_antimeridian(spark):
+    """No cloud filter requested ⇒ null-cloud scenes survive; wrapped
+    (min_lon > max_lon) scenes match bbox queries on either side of ±180."""
+    from datetime import datetime
+
+    from pyspark.sql import Row
+
+    rows = [
+        Row(image_id="NULLCLOUD_T1", min_lon=10.0, min_lat=0.0, max_lon=12.0,
+            max_lat=2.0, cloud_cover=None, acquisition_date=datetime(2020, 1, 1)),
+        Row(image_id="CLEAR_T1", min_lon=10.0, min_lat=0.0, max_lon=12.0,
+            max_lat=2.0, cloud_cover=5.0, acquisition_date=datetime(2020, 1, 1)),
+        Row(image_id="WRAP_T1", min_lon=179.0, min_lat=-5.0, max_lon=-178.0,
+            max_lat=5.0, cloud_cover=1.0, acquisition_date=datetime(2020, 1, 1)),
+    ]
+    df = spark.createDataFrame(rows)
+    ids = lambda d: {r["image_id"] for r in d.collect()}  # noqa: E731
+    # no cloud filter: every scene kept, including null cloud metadata
+    assert ids(ops.filter_scenes(df, MosaicConfig())) == {
+        "NULLCLOUD_T1", "CLEAR_T1", "WRAP_T1"}
+    # explicit cloud filter: null-cloud excluded (unknown quality)
+    assert ids(ops.filter_scenes(df, MosaicConfig(max_cloud=50.0))) == {
+        "CLEAR_T1", "WRAP_T1"}
+    # bbox abutting +180 catches the wrapped scene's eastern half
+    assert ids(ops.filter_scenes(
+        df, MosaicConfig(bounds=(170.0, -10.0, 180.0, 10.0)))) == {"WRAP_T1"}
+    # ... and a bbox just past -180 catches its western half
+    assert ids(ops.filter_scenes(
+        df, MosaicConfig(bounds=(-180.0, -10.0, -175.0, 10.0)))) == {"WRAP_T1"}
+    # a mid-Pacific-free bbox matches only the normal scenes
+    assert ids(ops.filter_scenes(
+        df, MosaicConfig(bounds=(5.0, -1.0, 11.0, 1.0)))) == {
+        "NULLCLOUD_T1", "CLEAR_T1"}
+
+
 def test_scene_list_csv_ingest(spark, tmp_path):
     csv = tmp_path / "scene_list.csv"
     csv.write_text(
