@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import udfs
@@ -231,111 +231,191 @@ def coverage_quadkeys(
 
 
 # ------------------------------------------------------------------- kNN
+EARTH_R_M = 6371008.8
+
+
 def knn_join(
     scenes: DataFrame,
     queries: DataFrame,
     k: int | None = None,
     level: int = 5,
 ) -> DataFrame:
-    """J3: k nearest scenes (by footprint-centroid haversine) per query.
+    """J3: exact k nearest scenes (footprint-centroid haversine) per query.
 
-    Cell-banded equi-join: probes explode to their 3x3 neighbor cells at
-    `level` (progressively coarser each round for unmatched probes —
-    ring expansion), scenes map to their centroid cell; the equi-join on
-    cell_id is broadcastable (queries are small). Exact haversine +
-    total-order tiebreak (dist, image_id) ranks within each query.
+    One-pass cell-stats pruning — no iteration, no driver-side loop:
 
-    Guarantee: a query matched at level L with k hits whose max distance
-    is ≤ one tile width at L is exact; coarsening to level-1 ensures the
-    3x3 band always eventually covers the true top-k (final fallback:
-    level 0 == full cross join for still-unmatched probes).
+      1. Scene centroids key to web-mercator cells at ``level``; a tiny
+         per-cell stats dim (count + exact tile bounds) is derived with
+         one groupBy. Nonempty cells are bounded by corpus geometry
+         (≤ 4^level), so the stats side broadcasts.
+      2. probes × stats: per pair, a provable LOWER bound on the
+         distance from the probe to anywhere in the cell rect (wrapped
+         lon clamp; the candidate latitudes on a meridian edge are its
+         endpoints plus the stationary point atan(tan(lat)/cos(Δλ)) —
+         the min over those is the exact point-to-spherical-rect
+         distance) and an UPPER bound (lower bound + meridian+parallel
+         traversal of the rect; triangle inequality).
+      3. per probe, R* = the smallest upper bound whose running scene
+         count reaches k (cells ordered by upper bound): ≥ k scenes
+         provably lie within R*, so any cell whose lower bound exceeds
+         R* cannot contain a top-k scene and is pruned. Out-of-extent
+         probes therefore touch only the corpus-edge cells — there is
+         no full-scan fallback.
+      4. surviving (probe, cell) pairs equi-join scenes on cell (probe
+         side broadcast — bounded by |queries| × selected cells); exact
+         haversine (the same Arrow kernel as knn_bruteforce) + (dist,
+         image_id) total-order top-k, pre-reduced per (probe, cell) so
+         no hotspot cell concentrates in a single final-agg key.
+
+    Millimeter/1e-9-relative margins on both bounds absorb JVM-vs-numpy
+    trig ULP drift, so the pruning never excludes a true neighbor.
+    At extreme probe counts (≫ the bounded probe-set contract) stage 2's
+    |probes| × |cells| pair table is the scaling knob: run the same
+    pruning at a coarser parent level first to pre-select cell regions.
     """
+    import math
+
     u = udfs.make_scalar_udfs()
     cent = scenes.select(
         "image_id",
         ((F.col("min_lon") + F.col("max_lon")) / 2).alias("slon"),
         ((F.col("min_lat") + F.col("max_lat")) / 2).alias("slat"),
-    ).cache()  # reused by every ring-expansion round
+    )
+    # The cell key is INTERNAL to this operator (stats side and scoring
+    # side just have to agree), so it's computed natively — whole-stage
+    # codegen, no Arrow hop over the big scenes table. Key = (x<<30)|y.
+    z2 = float(1 << level)
+    nmax = (1 << level) - 1
+    LAT_MAX = 85.05112878
+
+    def _tile_xy(lon: Column, lat: Column) -> tuple[Column, Column]:
+        lon_c = F.greatest(F.least(lon, F.lit(180.0)), F.lit(-180.0))
+        lat_r = F.radians(
+            F.greatest(F.least(lat, F.lit(LAT_MAX)), F.lit(-LAT_MAX))
+        )
+        xn = (lon_c + 180.0) / 360.0
+        yn = (
+            1.0 - F.log(F.tan(lat_r) + 1.0 / F.cos(lat_r)) / math.pi
+        ) / 2.0
+        clamp = lambda c: F.greatest(  # noqa: E731
+            F.least(c, F.lit(nmax)), F.lit(0)
+        )
+        return (
+            clamp(F.floor(xn * z2).cast("long")),
+            clamp(F.floor(yn * z2).cast("long")),
+        )
+
+    sx, sy = _tile_xy(F.col("slon"), F.col("slat"))
+    sc = cent.withColumn("cell", F.shiftleft(sx, 30) + sy)
+    # native inverse: cell → tile bounds (mercator gudermannian)
+    cx = F.shiftright(F.col("cell"), 30)
+    cy = F.col("cell") - F.shiftleft(cx, 30)
+    merc_lat = lambda yy: F.degrees(  # noqa: E731
+        F.atan(F.sinh(math.pi * (1.0 - 2.0 * yy / z2)))
+    )
+    stats = (
+        sc.groupBy("cell")
+        .agg(F.count("*").alias("n_in_cell"))
+        .select(
+            "cell",
+            "n_in_cell",
+            (cx / z2 * 360.0 - 180.0).alias("cw"),
+            merc_lat(cy + 1).alias("cs"),
+            ((cx + 1) / z2 * 360.0 - 180.0).alias("ce"),
+            merc_lat(cy).alias("cn"),
+        )
+    )
+    # stats is bounded (≤ 4^level rows) but its lineage scans the whole
+    # corpus; three downstream branches reference it, so materialize the
+    # small result once in executor storage instead of re-scanning
+    stats = stats.localCheckpoint(eager=True)
     # element_at/slice ordinals must be INT (queries may carry k as long)
     kcol = (F.lit(k) if k is not None else F.col("k")).cast("int")
+    q = queries.select("query_id", "lon", "lat", kcol.alias("k_req"))
+    pairs = q.join(F.broadcast(stats))
 
-    # Per-round DONE rows are collected to the driver: the output is
-    # bounded by |queries| * k by contract, and materializing each round
-    # keeps the iterative plan's lineage flat (a pure-DataFrame loop
-    # re-evaluates every earlier round's anti-join chain each action).
-    spark = scenes.sparkSession
-    remaining = queries
-    out_rows: list = []
-    lv = level
-    while lv >= 0:
-        sc = cent.withColumn("cell", u["cell_id"]("slon", "slat", F.lit(lv)))
-        pr = remaining.withColumn(
-            "cell",
-            F.explode(
-                F.array_distinct(u["cell_neighbors"]("lon", "lat", F.lit(lv)))
-            ),
-        )
-        # probes are the small side — broadcast them, stream the scenes
-        joined = sc.join(F.broadcast(pr), "cell").drop("cell")
-        scored = joined.withColumn(
-            "dist_m", u["haversine_m"]("lon", "lat", "slon", "slat")
-        )
-        # top-k per query via sorted-struct aggregation (no window)
-        topk = scored.groupBy("query_id", "lat").agg(
-            F.slice(
-                F.sort_array(
-                    F.collect_list(F.struct(F.col("dist_m"), F.col("image_id")))
-                ),
-                1,
-                F.max(kcol),
-            ).alias("nn"),
-            F.max(kcol).alias("k_req"),
-            F.count("*").alias("n_cand"),
-        )
-        # a query is DONE when its band produced ≥k candidates AND its
-        # k-th distance is ≤ the band's guaranteed-covered radius: the
-        # 3x3 ring covers at least one full tile in every direction, and
-        # a web-mercator tile near latitude φ spans ≥ tile_deg·cos(φ)
-        # ground degrees in both axes (0.95 safety factor).
-        if lv == 0:
-            done = topk
-        else:
-            tile_deg = 360.0 / (1 << lv)
-            guard_m = (
-                F.lit(tile_deg * 111_000.0 * 0.95)
-                * F.cos(F.radians(F.col("lat")))
-            )
-            done = topk.filter(
-                (F.col("n_cand") >= F.col("k_req"))
-                & (F.element_at("nn", F.col("k_req"))["dist_m"] <= guard_m)
-            )
-        done_rows = done.select("query_id", "nn").collect()
-        for r in done_rows:
-            for pos, nn in enumerate(r["nn"]):
-                out_rows.append(
-                    (r["query_id"], pos + 1, nn["image_id"], nn["dist_m"])
-                )
-        if lv == 0:
-            break
-        done_ids = {r["query_id"] for r in done_rows}
-        remaining = remaining.filter(~F.col("query_id").isin(list(done_ids)) if done_ids else F.lit(True))
-        if done_ids and remaining.limit(1).count() == 0:
-            break
-        # ring expansion schedule: one 8x-coarser retry, then the exact
-        # full-scan fallback — below level 3 a "band" is already most of
-        # the world, so intermediate rounds only repeat near-full scans
-        lv = lv - 3 if lv - 3 >= 3 else 0
-    from pyspark.sql import types as T
+    # ---- distance bounds (all native trig → whole-stage codegen) ----
+    def _wrapdeg(a: Column, b: Column) -> Column:
+        # |a-b| wrapped into [0, 180] degrees
+        return F.abs(F.pmod(a - b + 540.0, F.lit(360.0)) - 180.0)
 
-    schema = T.StructType(
-        [
-            T.StructField("query_id", queries.schema["query_id"].dataType),
-            T.StructField("rank", T.IntegerType()),
-            T.StructField("image_id", T.StringType()),
-            T.StructField("dist_m", T.DoubleType()),
-        ]
+    def _hav_m(phi_a: Column, phi_b: Column, dlam: Column) -> Column:
+        # haversine with lat/lon deltas already in radians
+        a = (
+            F.sin((phi_b - phi_a) / 2) * F.sin((phi_b - phi_a) / 2)
+            + F.cos(phi_a) * F.cos(phi_b) * F.sin(dlam / 2) * F.sin(dlam / 2)
+        )
+        return 2.0 * EARTH_R_M * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
+
+    inside_lon = (F.col("lon") >= F.col("cw")) & (F.col("lon") <= F.col("ce"))
+    dl = F.when(inside_lon, F.lit(0.0)).otherwise(
+        F.least(_wrapdeg(F.col("lon"), F.col("cw")), _wrapdeg(F.col("lon"), F.col("ce")))
     )
-    return spark.createDataFrame(out_rows, schema)
+    DL = F.radians(dl)
+    p1 = F.radians(F.col("lat"))
+    s_r, n_r = F.radians(F.col("cs")), F.radians(F.col("cn"))
+    # stationary latitude of the point-to-meridian distance (NaN/Inf at
+    # cos(Δλ)=0 is harmless: Spark's least() sorts NaN last, and the two
+    # edge-latitude candidates are always evaluated)
+    phi_star = F.atan(F.tan(p1) / F.cos(DL))
+    phi_c = F.greatest(F.least(phi_star, n_r), s_r)
+    mind_raw = F.least(
+        _hav_m(p1, phi_c, DL), _hav_m(p1, s_r, DL), _hav_m(p1, n_r, DL)
+    )
+    diam = EARTH_R_M * (n_r - s_r + F.radians(F.col("ce") - F.col("cw")))
+    pairs = pairs.withColumn(
+        "mind", mind_raw * (1.0 - 1e-9) - 1e-3
+    ).withColumn("maxd", mind_raw * (1.0 + 1e-9) + diam + 1e-3)
+
+    # ---- per-probe pruning radius R* (two windows over one partition —
+    # no rejoin, the whole operator stays a single linear DAG) ----
+    wcum = (
+        Window.partitionBy("query_id")
+        .orderBy("maxd", "cell")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("query_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = pairs.withColumn("cum", F.sum("n_in_cell").over(wcum))
+    rstar_col = F.min(
+        F.when(F.col("cum") >= F.col("k_req"), F.col("maxd"))
+    ).over(wall)
+    # corpus smaller than k → R* null → keep every cell (coalesce inf)
+    cand = (
+        cum.withColumn("rstar", rstar_col)
+        .filter(F.col("mind") <= F.coalesce(F.col("rstar"), F.lit(float("inf"))))
+        .select("query_id", "lon", "lat", "k_req", "cell")
+    )
+
+    # ---- exact scoring over the pruned candidate cells ----
+    joined = sc.join(F.broadcast(cand), "cell")
+    scored = joined.withColumn(
+        "dist_m", u["haversine_m"]("lon", "lat", "slon", "slat")
+    )
+    part = scored.groupBy("query_id", "cell").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("dist_m"), F.col("image_id")))
+            ),
+            1,
+            F.max("k_req"),
+        ).alias("part"),
+        F.max("k_req").alias("k_req"),
+    )
+    topk = part.groupBy("query_id").agg(
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("part"))), 1, F.max("k_req")
+        ).alias("nn")
+    )
+    return topk.select(
+        "query_id", F.posexplode("nn").alias("pos", "nn")
+    ).select(
+        "query_id",
+        (F.col("pos") + 1).cast("int").alias("rank"),
+        F.col("nn.image_id").alias("image_id"),
+        F.col("nn.dist_m").alias("dist_m"),
+    )
 
 
 def knn_bruteforce(
@@ -347,7 +427,7 @@ def knn_bruteforce(
         "image_id",
         ((F.col("min_lon") + F.col("max_lon")) / 2).alias("slon"),
         ((F.col("min_lat") + F.col("max_lat")) / 2).alias("slat"),
-    ).cache()  # reused by every ring-expansion round
+    )
     # element_at/slice ordinals must be INT (queries may carry k as long)
     kcol = (F.lit(k) if k is not None else F.col("k")).cast("int")
     scored = cent.crossJoin(F.broadcast(queries)).withColumn(

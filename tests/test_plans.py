@@ -73,11 +73,24 @@ def test_knn_broadcasts_probe_side(spark, scenes_df, fixture_dir):
     import os
 
     queries = spark.read.parquet(os.path.join(fixture_dir, "knn_queries.parquet"))
-    # banded knn materializes per round (bounded output), so inspect the
-    # brute-force variant's lazy plan: probes must be the broadcast side
     res = ops.knn_bruteforce(scenes_df, queries)
     plan = _plan(res)
     assert "Broadcast" in plan
+
+
+def test_knn_join_plan_is_distributed(spark, scenes_df, fixture_dir):
+    """Cell-stats kNN: one DataFrame plan end-to-end — candidate side
+    broadcast, scenes never cartesian-joined, no driver materialization
+    (the result is lazy, unlike the old per-round collect loop)."""
+    import os
+
+    queries = spark.read.parquet(os.path.join(fixture_dir, "knn_queries.parquet"))
+    res = ops.knn_join(scenes_df, queries, level=5)
+    plan = _plan(res)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # scoring joins scenes↔candidates on the packed cell key
+    assert "cell" in plan
 
 
 def test_missing_quadkeys_uses_anti_join(spark, scenes_df, fixture_dir):
