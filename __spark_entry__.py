@@ -939,7 +939,16 @@ def sql_events_sessions():
     )
 
 
-# -------------------------------------------- engine-native (rows-only)
+# ------------------------------------------------- flagship engine paths
+# The mosaic/rv/knn/gap queries run the REAL engine pipeline (filters →
+# fused explode kernel → salted selection → relational output) over
+# RECTANGULAR footprints derived from driver tables with integer-key
+# arithmetic, so every float is bit-identical in Spark and DuckDB and
+# the whole pipeline gets an exact SQL twin (cover = generate_series
+# between the _tile_sql corner tiles; selection = row_number). The
+# exotic-geometry paths (antimeridian rings, concave footprints, ...)
+# stay covered by the pytest goldens over datagen fixtures.
+Z_MOSAIC = 6
 _FIXTURE_CACHE: dict[str, str] = {}
 
 
@@ -959,64 +968,218 @@ def _engine_scenes(spark):
     return spark.read.parquet(_FIXTURE_CACHE["scenes"])
 
 
+def _part_scenes(spark, sf_dir):
+    """Scene table derived from `part`: the same footprint lattice as
+    q_geo_bbox_filter/q_geo_cover_count plus image_id/date/cloud."""
+    p = _t(spark, sf_dir, "part")
+    w = F.pmod(F.col("p_partkey") * 7, F.lit(300)) - 160.0 + 0.001
+    s = F.pmod(F.col("p_partkey") * 13, F.lit(120)) - 65.0 + 0.001
+    base = p.select(
+        F.format_string("S%06d_T1", F.col("p_partkey")).alias("image_id"),
+        F.pmod(F.col("p_partkey"), F.lit(50)).cast("int").alias("path"),
+        F.pmod(F.col("p_partkey"), F.lit(37)).cast("int").alias("row"),
+        F.date_add(
+            F.to_date(F.lit("2019-01-01")),
+            F.pmod(F.col("p_partkey"), F.lit(1000)).cast("int"),
+        ).cast("timestamp").alias("acquisition_date"),
+        F.pmod(F.col("p_partkey") * 17, F.lit(101)).cast("double").alias(
+            "cloud_cover"
+        ),
+        w.alias("min_lon"),
+        s.alias("min_lat"),
+        (w + 3.7).alias("max_lon"),
+        (s + 2.9).alias("max_lat"),
+    )
+    return base.withColumn(
+        "fp_xs", F.array("min_lon", "max_lon", "max_lon", "min_lon")
+    ).withColumn("fp_ys", F.array("min_lat", "min_lat", "max_lat", "max_lat"))
+
+
+PART_SCENES_SQL = (
+    "SELECT printf('S%06d_T1', p_partkey) AS image_id, "
+    "epoch(TIMESTAMP '2019-01-01' + INTERVAL ((p_partkey % 1000)) DAY) AS ts, "
+    "CAST((p_partkey * 17) % 101 AS DOUBLE) AS cloud_cover, "
+    "((p_partkey * 7) % 300) - CAST(160.0 AS DOUBLE) + 0.001 AS w, "
+    "((p_partkey * 13) % 120) - CAST(65.0 AS DOUBLE) + 0.001 AS s, "
+    "((p_partkey * 7) % 300) - CAST(160.0 AS DOUBLE) + 0.001 + 3.7 AS e, "
+    "((p_partkey * 13) % 120) - CAST(65.0 AS DOUBLE) + 0.001 + 2.9 AS n "
+    "FROM part"
+)
+
+
+def _cover_cte_sql(src_cte: str, id_cols: str, z: int) -> str:
+    """SQL cover: `src_cte` provides (id_cols..., w, s, e, n); emits
+    (id_cols..., x, y) — one row per covered tile, the same epsilon
+    convention as tilemath.cover_ranges (validated by geo_cover_count)."""
+    return (
+        f"SELECT {id_cols}, gx.x AS x, gy.y AS y FROM ("
+        f"SELECT {id_cols}, "
+        + _tile_sql("w", "n", z, "x0", "y0")
+        + ", "
+        + _tile_sql(f"e - {LL_EPSILON}", f"s + {LL_EPSILON}", z, "x1", "y1")
+        + f" FROM {src_cte}) cr, "
+        "unnest(generate_series(cr.x0, cr.x1)) AS gx(x), "
+        "unnest(generate_series(cr.y0, cr.y1)) AS gy(y)"
+    )
+
+
 def q_mosaic_assignments(spark, sf_dir):
-    """Flagship mosaic pipeline (rows-only: oracle = tests/golden)."""
+    """E1 flagship mosaic pipeline over part-derived footprints: filter
+    → fused explode (exact polygon∩tile on the rect ring) → salted
+    two-phase newest-first selection → (quadkey, asset, rank)."""
     from mosaic_engine import mosaic as mz
     from mosaic_engine import ops
 
-    cfg = ops.MosaicConfig(quadkey_zoom=7, optimized_selection=True)
-    assign = mz.quadkey_assignments(_engine_scenes(spark), cfg)
-    return ops.assignments_relational(assign)
+    cfg = ops.MosaicConfig(
+        quadkey_zoom=Z_MOSAIC, preference="newest", optimized_selection=False
+    )
+    assign = mz.quadkey_assignments(_part_scenes(spark, sf_dir), cfg)
+    rel = ops.assignments_relational(assign)
+    return rel.select("quadkey", "asset", F.col("rank").cast("int").alias("rank"))
 
 
-def _engine_aux(spark, name):
-    """Deterministic aux fixtures (land/knn_queries/vector_tiles)."""
-    if name not in _FIXTURE_CACHE:
-        import tempfile
+def sql_mosaic_assignments():
+    return (
+        f"WITH b AS ({PART_SCENES_SQL}), "
+        f"c AS ({_cover_cte_sql('b', 'image_id, ts, cloud_cover', Z_MOSAIC)}), "
+        "r AS (SELECT x, y, image_id, row_number() OVER ("
+        "PARTITION BY x, y ORDER BY ts DESC, cloud_cover ASC, image_id ASC"
+        ") AS rnk FROM c) "
+        f"SELECT {_quadkey_sql('x', 'y', Z_MOSAIC)} AS quadkey, "
+        "image_id AS asset, CAST(rnk AS INTEGER) AS rank FROM r"
+    )
 
-        from mosaic_engine import datagen
 
-        d = tempfile.mkdtemp(prefix="entry_aux_")
-        gens = {
-            "land": datagen.gen_land(42),
-            "knn_queries": datagen.gen_knn_queries(n=60, seed=42),
-            "vector_tiles": datagen.gen_vector_tiles(n=120, seed=42),
-        }
-        path = os.path.join(d, f"{name}.parquet")
-        datagen.write_parquet(gens[name], path)
-        _FIXTURE_CACHE[name] = path
-    return spark.read.parquet(_FIXTURE_CACHE[name])
+def _vector_boxes(spark, sf_dir):
+    """Vector features (rect rings) derived from `supplier`."""
+    sup = _t(spark, sf_dir, "supplier")
+    w = F.pmod(F.col("s_suppkey") * 11, F.lit(320)) - 165.0 + 0.0013
+    s = F.pmod(F.col("s_suppkey") * 29, F.lit(110)) - 60.0 + 0.0013
+    return sup.select(
+        F.col("s_suppkey").alias("feature_id"),
+        F.array(w, w + 2.1, w + 2.1, w).alias("xs"),
+        F.array(s, s, s + 1.7, s + 1.7).alias("ys"),
+    )
+
+
+VECTOR_BOXES_SQL = (
+    "SELECT s_suppkey AS feature_id, "
+    "((s_suppkey * 11) % 320) - CAST(165.0 AS DOUBLE) + 0.0013 AS w, "
+    "((s_suppkey * 29) % 110) - CAST(60.0 AS DOUBLE) + 0.0013 AS s, "
+    "((s_suppkey * 11) % 320) - CAST(165.0 AS DOUBLE) + 0.0013 + 2.1 AS e, "
+    "((s_suppkey * 29) % 110) - CAST(60.0 AS DOUBLE) + 0.0013 + 1.7 AS n "
+    "FROM supplier"
+)
 
 
 def q_rv_join(spark, sf_dir):
-    """J4 raster↔vector quadkey equi-join (rows-only; oracle = pytest
-    brute-force set comparison in tests/test_knn_rv.py)."""
+    """J4 raster↔vector quadkey equi-join: part-derived scene footprints
+    × supplier-derived vector features, both through the fused explode
+    kernel, joined on the packed cell key."""
     from mosaic_engine import ops
 
     return ops.raster_vector_join(
-        _engine_scenes(spark), _engine_aux(spark, "vector_tiles"), 8
+        _part_scenes(spark, sf_dir), _vector_boxes(spark, sf_dir), Z_TILE
+    )
+
+
+def sql_rv_join():
+    return (
+        f"WITH b AS ({PART_SCENES_SQL}), "
+        f"sc AS ({_cover_cte_sql('b', 'image_id', Z_TILE)}), "
+        f"v AS ({VECTOR_BOXES_SQL}), "
+        f"vc AS ({_cover_cte_sql('v', 'feature_id', Z_TILE)}) "
+        f"SELECT {_quadkey_sql('sc.x', 'sc.y', Z_TILE)} AS quadkey, "
+        "image_id, feature_id "
+        "FROM sc JOIN vc ON sc.x = vc.x AND sc.y = vc.y"
     )
 
 
 def q_knn_banded(spark, sf_dir):
-    """J3 cell-banded kNN with ring expansion (rows-only; oracle =
-    pytest scalar brute-force in tests/test_knn_rv.py)."""
+    """J3 cell-stats-pruned exact kNN (ops.knn_join): 3 nearest
+    part-derived scene centroids per supplier probe point; oracle =
+    brute-force SQL (valid because the operator is provably exact —
+    pytest asserts equality with knn_bruteforce on adversarial probes)."""
     from mosaic_engine import ops
 
-    return ops.knn_join(
-        _engine_scenes(spark), _engine_aux(spark, "knn_queries"), level=5
+    scenes = _part_scenes(spark, sf_dir)
+    probes = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("query_id"),
+        ((F.pmod(F.col("s_suppkey") * 4409, F.lit(34000))) / 100.0 - 170.0 + 0.007).alias("lon"),
+        ((F.pmod(F.col("s_suppkey") * 6397, F.lit(16000))) / 100.0 - 80.0 + 0.007).alias("lat"),
+    )
+    res = ops.knn_join(scenes, probes, k=3, level=Z_MOSAIC)
+    return res.select(
+        "query_id", "rank", "image_id", F.round("dist_m", 3).alias("dist_m")
     )
 
 
+def sql_knn_banded():
+    # radians-first haversine: the exact op sequence of
+    # geometry.haversine_m (the engine's scoring kernel)
+    hav = (
+        "2.0 * 6371008.8 * asin(sqrt(least("
+        "sin((radians(cy) - radians(lat)) / 2.0) * sin((radians(cy) - radians(lat)) / 2.0) + "
+        "cos(radians(lat)) * cos(radians(cy)) * "
+        "sin((radians(cx) - radians(lon)) / 2.0) * sin((radians(cx) - radians(lon)) / 2.0), 1.0)))"
+    )
+    return (
+        f"WITH b AS ({PART_SCENES_SQL}), "
+        "c AS (SELECT image_id, (w + e) / 2 AS cx, (s + n) / 2 AS cy FROM b), "
+        "q AS (SELECT s_suppkey AS query_id, "
+        "((s_suppkey * 4409) % 34000) / CAST(100.0 AS DOUBLE) - 170.0 + 0.007 AS lon, "
+        "((s_suppkey * 6397) % 16000) / CAST(100.0 AS DOUBLE) - 80.0 + 0.007 AS lat FROM supplier), "
+        f"d AS (SELECT query_id, image_id, {hav} AS dist_m FROM q CROSS JOIN c), "
+        "r AS (SELECT query_id, image_id, dist_m, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY dist_m, image_id) AS rnk FROM d) "
+        "SELECT query_id, CAST(rnk AS INTEGER) AS rank, image_id, "
+        "round(dist_m, 3) AS dist_m FROM r WHERE rnk <= 3"
+    )
+
+
+def _land_boxes(spark, sf_dir):
+    """Land-mask rects derived from `nation` (wide boxes so some tiles
+    under land carry no scene — the gaps the anti join must find)."""
+    n = _t(spark, sf_dir, "nation")
+    w = F.pmod(F.col("n_nationkey") * 23, F.lit(280)) - 150.0 + 0.0017
+    s = F.pmod(F.col("n_nationkey") * 31, F.lit(100)) - 55.0 + 0.0017
+    return n.select(
+        F.col("n_nationkey").alias("land_id"),
+        F.array(w, w + 24.0, w + 24.0, w).alias("xs"),
+        F.array(s, s, s + 16.0, s + 16.0).alias("ys"),
+    )
+
+
+LAND_BOXES_SQL = (
+    "SELECT n_nationkey AS land_id, "
+    "((n_nationkey * 23) % 280) - CAST(150.0 AS DOUBLE) + 0.0017 AS w, "
+    "((n_nationkey * 31) % 100) - CAST(55.0 AS DOUBLE) + 0.0017 AS s, "
+    "((n_nationkey * 23) % 280) - CAST(150.0 AS DOUBLE) + 0.0017 + 24.0 AS e, "
+    "((n_nationkey * 31) % 100) - CAST(55.0 AS DOUBLE) + 0.0017 + 16.0 AS n "
+    "FROM nation"
+)
+
+
 def q_missing_quadkeys(spark, sf_dir):
-    """J5/E3 anti-join gap detection (rows-only; oracle = pytest
-    constructed-set comparison in tests/test_mosaic_e2e.py)."""
+    """J5/E3 anti-join gap detection: land-covered quadkeys with no
+    scene in the part-derived mosaic."""
     from mosaic_engine import mosaic as mz
     from mosaic_engine import ops
 
-    cfg = ops.MosaicConfig(quadkey_zoom=7)
-    assign = mz.quadkey_assignments(_engine_scenes(spark), cfg)
-    return ops.missing_quadkeys(_engine_aux(spark, "land"), assign, 7)
+    cfg = ops.MosaicConfig(quadkey_zoom=Z_MOSAIC)
+    assign = mz.quadkey_assignments(_part_scenes(spark, sf_dir), cfg)
+    return ops.missing_quadkeys(_land_boxes(spark, sf_dir), assign, Z_MOSAIC)
+
+
+def sql_missing_quadkeys():
+    return (
+        f"WITH b AS ({PART_SCENES_SQL}), "
+        f"sc AS (SELECT DISTINCT x, y FROM ({_cover_cte_sql('b', 'image_id', Z_MOSAIC)})), "
+        f"l AS ({LAND_BOXES_SQL}), "
+        f"lc AS (SELECT DISTINCT x, y FROM ({_cover_cte_sql('l', 'land_id', Z_MOSAIC)})) "
+        f"SELECT {_quadkey_sql('lc.x', 'lc.y', Z_MOSAIC)} AS quadkey FROM lc "
+        "WHERE NOT EXISTS (SELECT 1 FROM sc WHERE sc.x = lc.x AND sc.y = lc.y)"
+    )
 
 
 def q_multimodal_image_check(spark, sf_dir):
@@ -1105,5 +1268,10 @@ def oracle_sql() -> dict[str, str]:
         "events_sessions": sql_events_sessions(),
         "events_props": sql_events_props(),
         "window_topk_orders": sql_window_topk_orders(),
-        # mosaic_assignments / multimodal_image_check: rows-only by design
+        "mosaic_assignments": sql_mosaic_assignments(),
+        "rv_join": sql_rv_join(),
+        "knn_banded": sql_knn_banded(),
+        "missing_quadkeys": sql_missing_quadkeys(),
+        # multimodal_image_check: rows-only by design (binary payload
+        # decode/phash invariants are not SQL-expressible)
     }
