@@ -471,16 +471,18 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def sql_ngram_jaccard():
+    # candidate pairs = the MinHash-LSH oracle (same CTE as
+    # dedup_minhash_lsh_pairs), exact 4-gram jaccard verified on them
+    lsh = sql_minhash_lsh_pairs()
     return (
-        "WITH g AS (SELECT DISTINCT doc_id, substr(lower(text), i, 4) AS gram "
+        f"WITH cand AS ({lsh}), "
+        "g AS (SELECT DISTINCT doc_id, substr(lower(text), i, 4) AS gram "
         "FROM documents, unnest(range(1, greatest(length(lower(text)) - 3, 0) + 1)) AS t(i)), "
         "sz AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id), "
-        "k AS (SELECT doc_id, lang, source FROM documents), "
-        "gk AS (SELECT g.doc_id, gram, lang, source FROM g JOIN k ON g.doc_id = k.doc_id), "
-        "inter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_inter "
-        "FROM gk l JOIN gk r ON l.gram = r.gram AND l.lang = r.lang "
-        "AND l.source = r.source AND l.doc_id < r.doc_id "
-        "GROUP BY l.doc_id, r.doc_id) "
+        "inter AS (SELECT cand.doc_a, cand.doc_b, count(*) AS n_inter "
+        "FROM cand JOIN g ga ON ga.doc_id = cand.doc_a "
+        "JOIN g gb ON gb.doc_id = cand.doc_b AND gb.gram = ga.gram "
+        "GROUP BY cand.doc_a, cand.doc_b) "
         "SELECT doc_a, doc_b, "
         "CAST(n_inter AS DOUBLE) / CAST(sa.n_grams + sb.n_grams - n_inter AS DOUBLE) AS jaccard "
         "FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id "
@@ -656,15 +658,39 @@ def q_embed_neardup(spark, sf_dir):
 
 
 def sql_embed_neardup():
+    # LSH-banded candidates (2 bands × 4 planes), exact cosine verify —
+    # the identical blocking as annops.neardup_pairs
+    bands = annops.N_PLANES // 2
+    wdefs = ", ".join(
+        f"[{', '.join(str(v) for v in row)}] AS w{j}"
+        for j, row in enumerate(annops.PLANES)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT vec_id, {b} AS band, ({bits}) AS bucket FROM basew".format(
+            b=b,
+            bits=" + ".join(
+                f"(CASE WHEN list_dot_product(q, CAST(w{b * bands + r} AS BIGINT[])) >= 0 "
+                f"THEN {1 << r} ELSE 0 END)"
+                for r in range(bands)
+            ),
+        )
+        for b in range(2)
+    )
     return (
         f"WITH base AS (SELECT vec_id, label, {QUANT_SQL} AS q, "
-        f"list_dot_product({QUANT_SQL}, {QUANT_SQL}) AS norm2 FROM embeddings) "
-        "SELECT l.vec_id AS vec_a, r.vec_id AS vec_b, "
-        "CAST(list_dot_product(l.q, r.q) AS DOUBLE) / "
-        "(sqrt(CAST(l.norm2 AS DOUBLE)) * sqrt(CAST(r.norm2 AS DOUBLE))) AS score "
-        "FROM base l JOIN base r ON l.label = r.label AND l.vec_id < r.vec_id "
-        "WHERE CAST(list_dot_product(l.q, r.q) AS DOUBLE) / "
-        "(sqrt(CAST(l.norm2 AS DOUBLE)) * sqrt(CAST(r.norm2 AS DOUBLE))) >= 0.2"
+        f"list_dot_product({QUANT_SQL}, {QUANT_SQL}) AS norm2 FROM embeddings), "
+        f"basew AS (SELECT *, {wdefs} FROM base), "
+        f"banded AS ({band_selects}), "
+        "cand AS (SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b "
+        "FROM banded l JOIN banded r ON l.band = r.band AND l.bucket = r.bucket "
+        "AND l.vec_id < r.vec_id) "
+        "SELECT vec_a, vec_b, "
+        "CAST(list_dot_product(a.q, b.q) AS DOUBLE) / "
+        "(sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) AS score "
+        "FROM cand JOIN base a ON cand.vec_a = a.vec_id "
+        "JOIN base b ON cand.vec_b = b.vec_id "
+        "WHERE CAST(list_dot_product(a.q, b.q) AS DOUBLE) / "
+        "(sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))) >= 0.2"
     )
 
 

@@ -113,14 +113,22 @@ def lsh_buckets(emb: DataFrame) -> DataFrame:
     )
 
 
-def ann_lsh_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
-    """ANN: exact cosine top-k WITHIN the query's LSH bucket.
+def ann_lsh_topk(
+    emb: DataFrame, n_queries: int = 10, k: int = 5, n_probes: int = 1
+) -> DataFrame:
+    """ANN: exact cosine top-k WITHIN the query's probed LSH buckets.
 
     The bucket equi-join replaces the cross join — at 10^12 scale each
-    query touches ~1/2^J of the corpus; recall is tunable via J and
-    multi-probe. Results are deterministic (integer bucketing + exact
-    scores), so the SQL oracle reproduces them bit-for-bit.
+    query touches ~n_probes/2^J of the corpus. Multi-probe: in addition
+    to its own bucket, each query probes the Hamming-1 neighbor buckets
+    whose hyperplane margin |q·w_j| is smallest (the planes most likely
+    to have flipped a true neighbor's sign) — recall rises monotonically
+    with n_probes at a fixed bucket count. Results are deterministic
+    (integer bucketing + exact scores), so the SQL oracle reproduces
+    them bit-for-bit.
     """
+    if not 1 <= n_probes <= N_PLANES + 1:
+        raise ValueError(f"n_probes must be in [1, {N_PLANES + 1}]")
     base = with_quantized(emb).withColumn(
         "bucket", lsh_bucket_col(F.col("q"))
     )
@@ -130,6 +138,26 @@ def ann_lsh_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
         F.col("norm2").alias("qn2"),
         "bucket",
     )
+    if n_probes > 1:
+        # margin-ordered single-bit flips (|q·w_j| asc, j asc tiebreak)
+        margins = F.array(
+            *[
+                F.struct(
+                    F.abs(dot_long(F.col("qq"), F.array(*[F.lit(v) for v in PLANES[j]]))).alias("m"),
+                    F.lit(j).alias("j"),
+                )
+                for j in range(N_PLANES)
+            ]
+        )
+        powers = F.array(*[F.lit(1 << j) for j in range(N_PLANES)])
+        flips = F.transform(
+            F.slice(F.sort_array(margins), 1, n_probes - 1),
+            lambda s: F.col("bucket").bitwiseXOR(
+                F.element_at(powers, s["j"] + 1)
+            ),
+        )
+        probes = F.concat(F.array(F.col("bucket")), flips)
+        queries = queries.withColumn("bucket", F.explode(probes))
     cand = base.join(F.broadcast(queries), "bucket").filter(
         F.col("vec_id") != F.col("query_id")
     )
@@ -157,26 +185,72 @@ def ann_lsh_topk(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     )
 
 
-def neardup_pairs(emb: DataFrame, min_score: float = 0.9) -> DataFrame:
-    """Embedding near-duplicate pairs within the same label (blocking
-    key; at scale, LSH buckets are the blocking key instead)."""
+def lsh_band_col(qcol, band: int, rows: int) -> Column:
+    """Sign-bit bucket of one LSH band (planes band*rows .. +rows)."""
+    bucket = F.lit(0)
+    for r in range(rows):
+        w = F.array(*[F.lit(v) for v in PLANES[band * rows + r]])
+        bucket = bucket + F.when(
+            dot_long(qcol, w) >= 0, F.lit(1 << r)
+        ).otherwise(F.lit(0))
+    return bucket
+
+
+def neardup_pairs(
+    emb: DataFrame, min_score: float = 0.9, bands: int = 2
+) -> DataFrame:
+    """Embedding near-duplicate pairs — LSH-banded candidate generation
+    (a pair is a candidate iff it collides in at least one band's
+    bucket), exact integer-cosine verification.
+
+    The band self-join is a hash equi-join on (band, bucket): only
+    colliding vectors meet, so the op stays linear-ish at corpus scale
+    (the old same-label blocking was quadratic within a label). Banding
+    over J/bands-bit buckets trades bucket size for recall exactly like
+    minhash_lsh_pairs."""
+    rows = N_PLANES // bands
     base = with_quantized(emb)
-    l = base.alias("l")
-    r = base.alias("r")
-    pairs = l.join(
-        r,
-        (F.col("l.label") == F.col("r.label"))
-        & (F.col("l.vec_id") < F.col("r.vec_id")),
+    parts = [
+        base.select(
+            "vec_id",
+            F.lit(b).alias("band"),
+            lsh_band_col(F.col("q"), b, rows).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = parts[0]
+    for p in parts[1:]:
+        banded = banded.unionByName(p)
+    l = banded.alias("l")
+    r = banded.alias("r")
+    cand = (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("l.vec_id") < F.col("r.vec_id"))
+        .select(
+            F.col("l.vec_id").alias("vec_a"), F.col("r.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    qa = base.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("q").alias("q_a"),
+        F.col("norm2").alias("n2_a"),
+    )
+    qb = base.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("q").alias("q_b"),
+        F.col("norm2").alias("n2_b"),
     )
     score = (
-        dot_long(F.col("l.q"), F.col("r.q")).cast("double")
+        dot_long(F.col("q_a"), F.col("q_b")).cast("double")
         / (
-            F.sqrt(F.col("l.norm2").cast("double"))
-            * F.sqrt(F.col("r.norm2").cast("double"))
+            F.sqrt(F.col("n2_a").cast("double"))
+            * F.sqrt(F.col("n2_b").cast("double"))
         )
     ).alias("score")
-    return pairs.select(
-        F.col("l.vec_id").alias("vec_a"),
-        F.col("r.vec_id").alias("vec_b"),
-        score,
-    ).filter(F.col("score") >= min_score)
+    return (
+        cand.join(qa, "vec_a")
+        .join(qb, "vec_b")
+        .select("vec_a", "vec_b", score)
+        .filter(F.col("score") >= min_score)
+    )

@@ -86,24 +86,27 @@ TOKENS_SQL = (
 
 def shingles(docs: DataFrame, w: int = 2) -> DataFrame:
     """(doc_id, shingle) — w-word shingles (standard w-shingling for
-    MinHash; unigram sets degenerate on shared-vocabulary corpora)."""
-    from pyspark.sql import Window
+    MinHash; unigram sets degenerate on shared-vocabulary corpora).
 
-    t = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower(F.col("text")), TOKEN_SPLIT)).alias(
-            "pos", "token"
-        ),
-    ).filter(F.col("token") != "")
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("token")] + [
-        F.lead("token", k).over(win) for k in range(1, w)
-    ]
-    return (
-        t.select("doc_id", F.concat_ws("_", *parts).alias("shingle"))
-        .filter(~F.col("shingle").endswith("_"))  # drop tail partials
-        .filter(F.size(F.split("shingle", "_")) == w)
+    Built with array transform/element_at over the per-doc split array —
+    a narrow map-only stage. (The previous posexplode + Window(lead)
+    formulation shuffled and sorted EVERY token row just to pair
+    neighbors that already sit adjacent in the array.)"""
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != ""
     )
+    docs = docs.select("doc_id", toks.alias("toks"))
+    # sequence(1, n) is DESCENDING when n < 1, so guard short docs
+    sh = F.when(
+        F.size("toks") >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (w - 1)),
+            lambda i: F.concat_ws(
+                "_", *[F.element_at(F.col("toks"), i + k) for k in range(w)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.explode(sh).alias("shingle"))
 
 
 def dedup_exact(docs: DataFrame) -> DataFrame:
@@ -210,27 +213,29 @@ def char_ngrams(docs: DataFrame, n: int = 4) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 4, min_jaccard: float = 0.0
+    docs: DataFrame,
+    n: int = 4,
+    min_jaccard: float = 0.0,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for bounded candidate pairs (same lang+source
-    — the blocking key; at scale the LSH candidates replace blocking)."""
+    """Exact n-gram Jaccard verification over candidate pairs.
+
+    `candidates` defaults to minhash_lsh_pairs(docs) — the bucketed LSH
+    candidate generator — so cost is |candidates| × avg-grams-per-doc,
+    never a quadratic block self-join. Intersection counting joins each
+    candidate pair's side-a grams to the gram table on (doc_b, gram): a
+    plain hash equi-join, partition-parallel at any corpus size. Pairs
+    with an empty gram intersection drop out (their jaccard is 0)."""
+    if candidates is None:
+        candidates = minhash_lsh_pairs(docs)
     grams = char_ngrams(docs, n)
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
-    keys = docs.select("doc_id", "lang", "source")
-    g = grams.join(keys, "doc_id")
-    l = g.alias("l")
-    r = g.alias("r")
+    ga = grams.withColumnRenamed("doc_id", "doc_a")
+    gb = grams.withColumnRenamed("doc_id", "doc_b")
     inter = (
-        l.join(
-            r,
-            (F.col("l.gram") == F.col("r.gram"))
-            & (F.col("l.lang") == F.col("r.lang"))
-            & (F.col("l.source") == F.col("r.source"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .groupBy(
-            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
-        )
+        candidates.join(ga, "doc_a")
+        .join(gb, ["doc_b", "gram"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
     return (

@@ -111,3 +111,92 @@ def test_neardup_pairs_threshold(spark, emb):
              for r in annops.neardup_pairs(emb, min_score=0.99).collect()}
     assert (0, 1) in pairs and (0, 4) in pairs
     assert (0, 2) not in pairs
+
+
+def test_shingles_shuffle_free_and_correct(spark):
+    """Array-transform shingling: same shingle bags as a scalar oracle,
+    and the plan has no Window/Exchange before the explode."""
+    rows = [
+        Row(doc_id=1, text="The quick brown fox", lang="en", source="a", n_chars=19),
+        Row(doc_id=2, text="  one  ", lang="en", source="a", n_chars=7),
+        Row(doc_id=3, text="", lang="en", source="a", n_chars=0),
+        Row(doc_id=4, text="a b, c d", lang="en", source="a", n_chars=8),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {}
+    for r in textops.shingles(df, w=2).collect():
+        got.setdefault(r["doc_id"], []).append(r["shingle"])
+    import re
+
+    exp = {}
+    for r in rows:
+        toks = [t for t in re.split(r"[^a-z0-9']+", r.text.lower()) if t]
+        sh = [f"{toks[i]}_{toks[i+1]}" for i in range(len(toks) - 1)]
+        if sh:
+            exp[r.doc_id] = sh
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in exp.items()}
+    plan = textops.shingles(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Exchange" not in plan
+
+
+def test_ngram_jaccard_verifies_lsh_candidates(spark, docs):
+    """Default candidates = minhash LSH pairs: output ⊆ candidate set,
+    jaccard values exact (match a per-pair scalar recomputation)."""
+    cand = {(r["doc_a"], r["doc_b"])
+            for r in textops.minhash_lsh_pairs(docs).collect()}
+    out = textops.ngram_jaccard_pairs(docs, n=4, min_jaccard=0.0).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in out} <= cand
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    def grams(t):
+        t = t.lower()
+        return {t[i:i + 4] for i in range(max(len(t) - 3, 0))}
+
+    for r in out:
+        ga, gb = grams(texts[r["doc_a"]]), grams(texts[r["doc_b"]])
+        exp = len(ga & gb) / len(ga | gb)
+        assert r["jaccard"] == pytest.approx(exp, rel=1e-12)
+    # an explicit candidate frame is honored verbatim
+    one = spark.createDataFrame([Row(doc_a=1, doc_b=3)])
+    only = textops.ngram_jaccard_pairs(docs, candidates=one).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in only} <= {(1, 3)}
+
+
+def test_neardup_pairs_blocks_on_lsh_not_label(spark):
+    """Near-identical vectors in DIFFERENT labels are still found (the
+    old same-label blocking missed them); candidates collide in an LSH
+    band, so no quadratic all-pairs self-join on a coarse key."""
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=64)
+    rows = [
+        Row(vec_id=0, embedding=[float(v) for v in base], label=1),
+        Row(vec_id=1, embedding=[float(v) for v in base * 1.5], label=2),
+        Row(vec_id=2, embedding=[float(v) for v in -base], label=1),
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = {(r["vec_a"], r["vec_b"]) for r in
+             annops.neardup_pairs(df, min_score=0.99).collect()}
+    assert (0, 1) in pairs and (0, 2) not in pairs
+
+
+def test_ann_multiprobe_recall_monotone(spark):
+    """Recall vs brute force rises with n_probes at fixed bucket count
+    (VERDICT r1 'Next round' #5 acceptance)."""
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    brute = {}
+    for r in annops.cosine_topk(df, n_queries=10, k=5).collect():
+        brute.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(n_probes):
+        got = {}
+        for r in annops.ann_lsh_topk(
+            df, n_queries=10, k=5, n_probes=n_probes
+        ).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hit = sum(len(got.get(q, set()) & nn) for q, nn in brute.items())
+        return hit / sum(len(nn) for nn in brute.values())
+
+    r1, r3, r9 = recall(1), recall(3), recall(9)
+    assert r1 <= r3 <= r9
+    assert r9 > r1  # the fixture must actually exercise the extra probes
