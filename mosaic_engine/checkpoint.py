@@ -29,9 +29,26 @@ PREFIX_LEN = 2
 
 
 def input_snapshot_hash(df: DataFrame) -> str:
-    """Lineage hash of the scan's file set (names; stable snapshot id)."""
-    files = sorted(df.inputFiles())
-    return hashlib.sha256("\n".join(files).encode()).hexdigest()[:16]
+    """Lineage hash of the scan's file set.
+
+    For plain-file sources the hash covers (path, size, mtime_ns) so an
+    in-place rewrite (same path, new bytes) invalidates checkpoints; a
+    non-local/remote path (s3://, snapshot-stable catalogs like Iceberg
+    whose file names ARE content-addressed) falls back to name-only."""
+    from urllib.parse import urlparse
+
+    parts = []
+    for uri in sorted(df.inputFiles()):
+        parsed = urlparse(uri)
+        if parsed.scheme in ("", "file"):
+            try:
+                st = os.stat(parsed.path or uri)
+                parts.append(f"{uri}|{st.st_size}|{st.st_mtime_ns}")
+                continue
+            except OSError:
+                pass
+        parts.append(uri)
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:16]
 
 
 def _manifest_dir(out_dir: str) -> str:

@@ -546,6 +546,76 @@ def assets_for_tile(
     return out
 
 
+def assets_for_tiles(
+    assign: DataFrame, requests: DataFrame, z: int, quadkey_zoom: int
+) -> DataFrame:
+    """Batched tile-read path: a requests table (tx, ty) at zoom `z` →
+    (tx, ty, assets) via joins against the assignments table — the
+    tiler-at-scale shape (one DataFrame plan, no per-request driver
+    round trip; complements the scalar assets_for_tile convenience).
+
+    Same semantics as assets_for_tile: z ≥ quadkey_zoom resolves each
+    request to its ANCESTOR quadkey; z < quadkey_zoom unions DESCENDANT
+    quadkeys in quadkey order, de-duplicating assets on first
+    appearance (sort_array of (quadkey, assets) structs → flatten →
+    array_distinct, which keeps first occurrences). Requests with no
+    coverage get an empty asset list. One zoom level per call — the
+    batch-render contract — so every join is a broadcast equi-join."""
+    u = udfs.make_scalar_udfs()
+    req = requests.select("tx", "ty")
+    if z >= quadkey_zoom:
+        shift = z - quadkey_zoom
+        qk = u["tile_quadkey"](
+            F.shiftright(F.col("tx"), shift).cast("long"),
+            F.shiftright(F.col("ty"), shift).cast("long"),
+            F.lit(quadkey_zoom),
+        )
+        keyed = req.withColumn("quadkey", qk)
+        hit = F.broadcast(keyed).join(
+            assign.select("quadkey", "assets"), "quadkey", "left"
+        )
+        return hit.select(
+            "tx",
+            "ty",
+            F.coalesce(
+                "assets", F.array().cast("array<string>")
+            ).alias("assets"),
+        )
+    prefix = (
+        u["tile_quadkey"](
+            F.col("tx").cast("long"), F.col("ty").cast("long"), F.lit(z)
+        )
+        if z > 0
+        else F.lit("")
+    )
+    keyed = req.withColumn("prefix", prefix)
+    pref_assign = assign.select(
+        F.substring("quadkey", 1, z).alias("prefix"), "quadkey", "assets"
+    )
+    merged = (
+        F.broadcast(keyed)
+        .join(pref_assign, "prefix")
+        .groupBy("tx", "ty")
+        .agg(
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("quadkey", "assets"))
+                        ),
+                        lambda s: s["assets"],
+                    )
+                )
+            ).alias("assets")
+        )
+    )
+    return req.join(merged, ["tx", "ty"], "left").select(
+        "tx",
+        "ty",
+        F.coalesce("assets", F.array().cast("array<string>")).alias("assets"),
+    )
+
+
 def topk_by_key(
     df: DataFrame,
     key_cols: list[str],
@@ -561,6 +631,11 @@ def topk_by_key(
     the lexicographic order_cols), then one small groupBy finalizes.
     Ascending order; order_cols must start with the ranking measure and
     end with a total tiebreak. Returns key_cols + order_cols + rank.
+
+    Null keys are kept (groupby dropna=False, matching Spark groupBy).
+    order_cols must be non-null and non-NaN: Spark orders null < values
+    < NaN while pandas cannot distinguish null from NaN, so no single
+    na_position reproduces Spark's order — rows violating this raise.
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -573,16 +648,21 @@ def topk_by_key(
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc: list[pd.DataFrame] = []
         for pdf in batches:
+            if pdf[order_cols].isna().any().any():
+                raise ValueError(
+                    "topk_by_key: null/NaN in order_cols "
+                    f"{order_cols} — ordering would diverge from Spark"
+                )
             acc.append(
                 pdf.sort_values(order_cols, kind="mergesort")
-                .groupby(key_cols, sort=False)
+                .groupby(key_cols, sort=False, dropna=False)
                 .head(k)
             )
         if acc:
             merged = pd.concat(acc, ignore_index=True)
             yield (
                 merged.sort_values(order_cols, kind="mergesort")
-                .groupby(key_cols, sort=False)
+                .groupby(key_cols, sort=False, dropna=False)
                 .head(k)
             )
 

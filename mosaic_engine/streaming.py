@@ -7,11 +7,13 @@ scenes keep arriving, keep the mosaic current". Shape:
   spatial work, done ONCE per arriving scene) → append-only tiles log →
   finalize: salted selection aggregation over the log → mosaicJSON.
 
-The explode is incremental and idempotent per micro-batch (Spark's
-foreachBatch checkpoint guarantees each batch lands once); the
-selection aggregation re-runs over the bounded tiles log at finalize
-time — it is the cheap, shuffle-light tail of the pipeline. No
-watermark/state store is needed because scene selection is a pure
+foreachBatch is at-least-once: a batch that fails mid-write is retried
+with the SAME batch_id, so the sink makes itself idempotent by writing
+each batch to its own tiles_log/batch_id=<id> partition with overwrite
+— a retry replaces the partial partition instead of appending
+duplicates. The selection aggregation re-runs over the bounded tiles
+log at finalize time — the cheap, shuffle-light tail of the pipeline.
+No watermark/state store is needed because scene selection is a pure
 aggregation with a total-order key (late scenes simply merge in).
 """
 
@@ -69,7 +71,12 @@ def run_incremental(
         tiles = udfs.explode_to_quadkeys(
             filtered, cfg.quadkey_zoom, passthrough=EXPLODE_PASSTHROUGH
         )
-        tiles.write.mode("append").parquet(tiles_dir)
+        # exactly-once effect under foreachBatch's at-least-once retry
+        # contract: the batch_id keys its own partition dir, overwrite
+        # replaces any partial output from a failed earlier attempt
+        tiles.write.mode("overwrite").parquet(
+            os.path.join(tiles_dir, f"batch_id={batch_id}")
+        )
         n_batches["n"] += 1
 
     q = (

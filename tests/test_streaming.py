@@ -59,3 +59,33 @@ def test_streaming_rejects_config_change(spark, tmp_path):
         streaming.run_incremental(
             spark, scenes_dir, MosaicConfig(quadkey_zoom=8), work
         )
+
+
+def test_streaming_batch_redelivery_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a redelivered batch_id must
+    REPLACE its partition, not append duplicates (ADVICE r1)."""
+    from mosaic_engine import ops, udfs
+    from mosaic_engine.mosaic import EXPLODE_PASSTHROUGH
+
+    full = datagen.gen_scenes(n_scenes=40, paths=3, rows=3, seed=5)
+    scenes_dir = str(tmp_path / "scenes")
+    work = str(tmp_path / "work")
+    os.makedirs(scenes_dir)
+    datagen.write_parquet(full, os.path.join(scenes_dir, "p.parquet"))
+    cfg = MosaicConfig(quadkey_zoom=7)
+    n = streaming.run_incremental(spark, scenes_dir, cfg, work)
+    assert n == 1  # single file → single availableNow batch (batch_id 0)
+    doc_first = streaming.finalize(spark, scenes_dir, cfg, work)
+
+    # simulate the retry: re-execute batch 0's sink write verbatim
+    filtered = ops.filter_scenes(spark.read.parquet(scenes_dir), cfg)
+    tiles = udfs.explode_to_quadkeys(
+        filtered, cfg.quadkey_zoom, passthrough=EXPLODE_PASSTHROUGH
+    )
+    tiles.write.mode("overwrite").parquet(
+        os.path.join(work, "tiles_log", "batch_id=0")
+    )
+    doc_retry = streaming.finalize(spark, scenes_dir, cfg, work)
+    assert mz.canonical_json(doc_retry) == mz.canonical_json(doc_first)
+    # and no quadkey carries duplicate assets
+    assert not mz.validate_mosaic(doc_retry)
