@@ -653,6 +653,80 @@ def sql_ann_lsh_topk():
     return _ann_topk_sql(bucketed=True)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: deterministic integer k-means (3 Lloyd iterations, 16
+    lists) → probe the 2 best inverted lists → exact cosine top-k."""
+    return annops.ivf_topk(
+        _t(spark, sf_dir, "embeddings"), n_queries=10, k=5, n_probe=2
+    )
+
+
+def sql_ann_ivf_topk():
+    """Data-driven chained-CTE twin of ivf_topk: every arithmetic step
+    is an exact integer sum, one IEEE division, or floor — so the SQL
+    recomputation reproduces training AND search bit-for-bit."""
+    score = (
+        "CASE WHEN c.ncc = 0 THEN CAST('-infinity' AS DOUBLE) "
+        "ELSE CAST(list_dot_product({v}, c.c) AS DOUBLE) / sqrt(CAST(c.ncc AS DOUBLE)) END"
+    )
+
+    def assign_cte(prev_c: str, out: str) -> str:
+        return (
+            f"{out} AS (SELECT vec_id, q, norm2, cid FROM ("
+            "SELECT b.vec_id, b.q, b.norm2, c.cid, row_number() OVER ("
+            f"PARTITION BY b.vec_id ORDER BY {score.format(v='b.q')} DESC, c.cid) AS rn "
+            f"FROM base b CROSS JOIN {prev_c} c) WHERE rn = 1)"
+        )
+
+    def update_cte(prev_a: str, out: str) -> str:
+        return (
+            f"{out} AS (SELECT cid, list(m ORDER BY dim) AS c, "
+            "CAST(list_dot_product(list(m ORDER BY dim), list(m ORDER BY dim)) AS BIGINT) AS ncc FROM ("
+            "SELECT cid, dim, CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS m "
+            f"FROM (SELECT cid, g.dim, q[g.dim] AS val FROM {prev_a}, "
+            "unnest(generate_series(1, len(q))) AS g(dim)) "
+            "GROUP BY cid, dim) GROUP BY cid)"
+        )
+
+    ctes = [
+        f"base AS (SELECT vec_id, {QUANT_SQL} AS q, "
+        f"CAST(list_dot_product({QUANT_SQL}, {QUANT_SQL}) AS BIGINT) AS norm2 FROM embeddings)",
+        "c0 AS (SELECT vec_id AS cid, q AS c, norm2 AS ncc FROM base "
+        f"WHERE vec_id < {annops.N_LIST})",
+    ]
+    prev = "c0"
+    for i in range(1, annops.IVF_ITERS + 1):
+        ctes.append(assign_cte(prev, f"a{i}"))
+        ctes.append(update_cte(f"a{i}", f"c{i}"))
+        prev = f"c{i}"
+    ctes.append(assign_cte(prev, "af"))
+    ctes.append(
+        "qs AS (SELECT vec_id AS query_id, q AS qq, norm2 AS qn2 "
+        "FROM base WHERE vec_id < 10)"
+    )
+    ctes.append(
+        "pr AS (SELECT query_id, qq, qn2, cid FROM ("
+        "SELECT qs.query_id, qs.qq, qs.qn2, c.cid, row_number() OVER ("
+        f"PARTITION BY qs.query_id ORDER BY {score.format(v='qs.qq')} DESC, c.cid) AS rn "
+        f"FROM qs CROSS JOIN {prev} c) WHERE rn <= 2)"
+    )
+    ctes.append(
+        "scored AS (SELECT pr.query_id, b.vec_id, "
+        "CAST(list_dot_product(b.q, pr.qq) AS DOUBLE) / "
+        "(sqrt(CAST(b.norm2 AS DOUBLE)) * sqrt(CAST(pr.qn2 AS DOUBLE))) AS score "
+        "FROM af b JOIN pr ON b.cid = pr.cid AND b.vec_id <> pr.query_id)"
+    )
+    ctes.append(
+        "r AS (SELECT query_id, vec_id, score, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk FROM scored)"
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT query_id, CAST(rnk AS INTEGER) AS rank, "
+        "vec_id AS neighbor_id, score FROM r WHERE rnk <= 5"
+    )
+
+
 def q_embed_neardup(spark, sf_dir):
     return annops.neardup_pairs(_t(spark, sf_dir, "embeddings"), min_score=0.2)
 
@@ -1246,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embed_neardup": q_embed_neardup,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -1285,6 +1360,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": sql_ann_cosine_topk(),
         "ann_lsh_buckets": sql_ann_lsh_buckets(),
         "ann_lsh_topk": sql_ann_lsh_topk(),
+        "ann_ivf_topk": sql_ann_ivf_topk(),
         "embed_neardup": sql_embed_neardup(),
         "tpch_q1": sql_tpch_q1(),
         "tpch_q3": sql_tpch_q3(),

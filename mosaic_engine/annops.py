@@ -185,6 +185,159 @@ def ann_lsh_topk(
     )
 
 
+N_LIST = 16
+IVF_ITERS = 3
+
+
+def ivf_centroids(emb: DataFrame, n_list: int = N_LIST, iters: int = IVF_ITERS):
+    """Deterministic Lloyd k-means centroids over quantized embeddings —
+    IVF's training step, bit-reproducible in any engine (the SQL oracle
+    re-derives identical centroids from the data alone):
+
+      * init: the vectors with vec_id < n_list (deterministic seed)
+      * assign: argmax cosine against the current INTEGER centroids —
+        the dot product is an exact integer sum, so no float-summation
+        order can perturb it; ties break on centroid id
+      * update: per-dimension INTEGER centroid floor(sum/count) via
+        posexplode → (cid, dim) integer sums (exact, commutative);
+        clusters that lose every member drop out
+
+    Returns a list of (cid, [int; DIM]) — bounded (n_list × DIM), the
+    standard driver-side k-means state (Spark ML's KMeans collects the
+    same per iteration).
+    """
+    base = with_quantized(emb).select("vec_id", "q").localCheckpoint(
+        eager=True
+    )
+    cents = [
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in base.filter(F.col("vec_id") < n_list).collect()
+    ]
+    cents.sort()
+    for _ in range(iters):
+        assigned = base.select(
+            "vec_id", "q", _ivf_assign_col(cents, "q").alias("cid")
+        )
+        dims = assigned.select("cid", F.posexplode("q").alias("dim", "val"))
+        means = (
+            dims.groupBy("cid", "dim")
+            .agg(
+                F.floor(F.sum("val").cast("double") / F.count("*"))
+                .cast("long")
+                .alias("m")
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("dim"), F.col("m")))
+                    ),
+                    lambda s: s["m"],
+                ).alias("c")
+            )
+        )
+        cents = [
+            (int(r["cid"]), [int(v) for v in r["c"]]) for r in means.collect()
+        ]
+        cents.sort()
+    return cents
+
+
+def _ivf_assign_col(cents, qcol: str) -> Column:
+    """argmax_j cos(q, centroid_j), ties → smallest cid. Centroids are
+    integer literals: the dot is exact, the score is one IEEE division
+    by a sqrt of an exact integer — identical in any engine, and the
+    whole expression stays in codegen (no join, no shuffle)."""
+    best = None
+    for cid, vec in cents:
+        w = F.array(*[F.lit(int(v)).cast("long") for v in vec])
+        ncc = sum(v * v for v in vec)
+        if ncc == 0:
+            score = F.lit(float("-inf"))
+        else:
+            score = dot_long(F.col(qcol), w).cast("double") / F.sqrt(
+                F.lit(float(ncc))
+            )
+        cand = F.struct((-score).alias("ns"), F.lit(cid).alias("cid"))
+        best = cand if best is None else F.least(best, cand)
+    return best["cid"]
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_list: int = N_LIST,
+    n_probe: int = 2,
+    cents=None,
+) -> DataFrame:
+    """IVF ANN: exact cosine top-k within the n_probe nearest inverted
+    lists. The corpus partitions by trained centroid (one map stage);
+    each query probes its n_probe best lists — candidates meet through
+    a broadcast equi-join on cid, touching ~n_probe/n_list of the
+    corpus. Deterministic end to end (integer-exact training)."""
+    if cents is None:
+        cents = ivf_centroids(emb, n_list=n_list)
+    base = with_quantized(emb).withColumn("cid", _ivf_assign_col(cents, "q"))
+    qs = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("norm2").alias("qn2"),
+    )
+    probe_structs = _ivf_probe_structs(cents)
+    probes = qs.withColumn(
+        "cid",
+        F.explode(
+            F.transform(
+                F.slice(F.sort_array(F.array(*probe_structs)), 1, n_probe),
+                lambda s: s["cid"],
+            )
+        ),
+    )
+    cand = base.join(F.broadcast(probes), "cid").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    score = (
+        dot_long(F.col("q"), F.col("qq")).cast("double")
+        / (F.sqrt(F.col("norm2").cast("double")) * F.sqrt(F.col("qn2").cast("double")))
+    ).alias("score")
+    scored = cand.select("query_id", "vec_id", score)
+    topk = scored.groupBy("query_id").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct((-F.col("score")).alias("ns"), F.col("vec_id")))
+            ),
+            1,
+            k,
+        ).alias("nn")
+    )
+    return topk.select(
+        "query_id", F.posexplode("nn").alias("pos", "nn")
+    ).select(
+        "query_id",
+        (F.col("pos") + 1).alias("rank"),
+        F.col("nn.vec_id").alias("neighbor_id"),
+        (-F.col("nn.ns")).alias("score"),
+    )
+
+
+def _ivf_probe_structs(cents) -> list[Column]:
+    """(-cos(qq, centroid), cid) structs for probe-list selection (the
+    same integer-exact centroid expression as assignment, over qq)."""
+    out = []
+    for cid, vec in cents:
+        w = F.array(*[F.lit(int(v)).cast("long") for v in vec])
+        ncc = sum(v * v for v in vec)
+        if ncc == 0:
+            score = F.lit(float("-inf"))
+        else:
+            score = dot_long(F.col("qq"), w).cast("double") / F.sqrt(
+                F.lit(float(ncc))
+            )
+        out.append(F.struct((-score).alias("ns"), F.lit(cid).alias("cid")))
+    return out
+
+
 def lsh_band_col(qcol, band: int, rows: int) -> Column:
     """Sign-bit bucket of one LSH band (planes band*rows .. +rows)."""
     bucket = F.lit(0)

@@ -200,3 +200,29 @@ def test_ann_multiprobe_recall_monotone(spark):
     r1, r3, r9 = recall(1), recall(3), recall(9)
     assert r1 <= r3 <= r9
     assert r9 > r1  # the fixture must actually exercise the extra probes
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    """IVF (integer k-means) ANN: recall vs brute rises with n_probe
+    (probed-list superset ⇒ monotone), and training+search are fully
+    deterministic across runs (integer-exact arithmetic)."""
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = annops.ivf_centroids(df)
+    assert 1 <= len(cents) <= annops.N_LIST
+    assert cents == annops.ivf_centroids(df)  # bit-stable training
+    brute = {}
+    for r in annops.cosine_topk(df, n_queries=10, k=5).collect():
+        brute.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(n_probe):
+        got = {}
+        for r in annops.ivf_topk(
+            df, n_queries=10, k=5, n_probe=n_probe, cents=cents
+        ).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hit = sum(len(got.get(q, set()) & nn) for q, nn in brute.items())
+        return hit / sum(len(nn) for nn in brute.values())
+
+    r1, r4, rall = recall(1), recall(4), recall(len(cents))
+    assert r1 <= r4 <= rall
+    assert rall == 1.0  # probing every list IS brute force
