@@ -490,6 +490,24 @@ def sql_ngram_jaccard():
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clusters: connected components over LSH candidate pairs
+    (min-label propagation), cluster id = min doc_id in component."""
+    return textops.dedup_clusters(_t(spark, sf_dir, "documents"))
+
+
+def sql_dedup_clusters():
+    lsh = sql_minhash_lsh_pairs()
+    return (
+        f"WITH RECURSIVE cand AS ({lsh}), "
+        "e AS (SELECT doc_a AS src, doc_b AS dst FROM cand "
+        "UNION ALL SELECT doc_b, doc_a FROM cand), "
+        "r AS (SELECT doc_id, doc_id AS reach FROM documents "
+        "UNION SELECT r.doc_id, e.dst FROM r JOIN e ON r.reach = e.src) "
+        "SELECT doc_id, min(reach) AS cluster_id FROM r GROUP BY doc_id"
+    )
+
+
 def q_lang_id(spark, sf_dir):
     return textops.lang_id(_t(spark, sf_dir, "documents"))
 
@@ -1313,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_simhash": q_simhash,
         "dedup_ngram_jaccard": q_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "text_lang_id": q_lang_id,
         "text_quality": q_quality,
         "text_token_stats": q_token_stats,
@@ -1353,6 +1372,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh_pairs": sql_minhash_lsh_pairs(),
         "dedup_simhash": sql_simhash(),
         "dedup_ngram_jaccard": sql_ngram_jaccard(),
+        "dedup_clusters": sql_dedup_clusters(),
         "text_lang_id": sql_lang_id(),
         "text_quality": sql_quality(),
         "text_token_stats": sql_token_stats(),

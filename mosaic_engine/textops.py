@@ -253,6 +253,63 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    max_iters: int = 25,
+) -> DataFrame:
+    """Near-duplicate clusters: connected components over candidate
+    pairs (default minhash_lsh_pairs), cluster id = min doc_id in the
+    component — the canonical-document step a training-data dedup
+    pipeline runs after pair generation.
+
+    Min-label propagation: each round every doc takes the min of its
+    own label and its neighbors' labels (one hash equi-join on the
+    bidirectional edge list + a groupBy min — both map-side-combinable);
+    rounds ≤ graph diameter ≤ max_iters. Labels localCheckpoint per
+    round so the loop's lineage stays flat; convergence is detected by
+    an aggregate (count of changed labels), never by collecting rows.
+    Docs in no pair are singleton clusters of themselves.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(docs)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = docs.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(
+                labels.withColumnRenamed("doc_id", "dst"), "dst"
+            )
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("n_min"))
+        )
+        updated = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("n_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+                (
+                    F.coalesce(F.col("n_min"), F.col("cluster_id"))
+                    < F.col("cluster_id")
+                ).cast("int").alias("changed"),
+            )
+        ).localCheckpoint(eager=True)
+        n_changed = updated.agg(F.sum("changed")).first()[0] or 0
+        labels = updated.drop("changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """Marker-token language ID with deterministic tie order."""
     t = tokens(docs)

@@ -226,3 +226,18 @@ def test_ivf_topk_recall_and_determinism(spark):
     r1, r4, rall = recall(1), recall(4), recall(len(cents))
     assert r1 <= r4 <= rall
     assert rall == 1.0  # probing every list IS brute force
+
+
+def test_dedup_clusters_chain_propagation_and_singletons(spark):
+    """Min-label propagation crosses a path graph's full diameter (the
+    min label must hop round by round), singletons keep their own id."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc {i}", lang="en", source="a", n_chars=6)
+         for i in range(8)]
+    )
+    pairs = spark.createDataFrame(
+        [Row(doc_a=a, doc_b=b) for a, b in [(0, 1), (1, 2), (2, 3), (3, 4), (6, 7)]]
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in textops.dedup_clusters(docs, pairs=pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 6, 7: 6}
