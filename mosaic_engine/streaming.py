@@ -89,6 +89,56 @@ def run_incremental(
     return n_batches["n"]
 
 
+def windowed_event_counts(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
+) -> "DataFrame":
+    """Watermarked tumbling-window aggregation over an event stream
+    (§2.10's windowed-agg shape): per (window, event_type) counts and
+    value sums in append mode — a window only emits once its watermark
+    passes, so late events inside the watermark still merge in while
+    state stays bounded. availableNow drains everything currently on
+    disk; returns the result read back from the sink."""
+    from pyspark.sql import functions as F
+
+    schema = spark.read.parquet(events_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(events_dir)
+    # event-time watermarks require TIMESTAMP; parquet often scans as
+    # TIMESTAMP_NTZ — cast before the watermark is declared
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_epoch"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(out_dir, "counts"))
+        .option("checkpointLocation", os.path.join(out_dir, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(out_dir, "counts"))
+
+
 def finalize(
     spark: SparkSession, scenes_dir: str, cfg: MosaicConfig, work_dir: str
 ) -> dict:

@@ -89,3 +89,58 @@ def test_streaming_batch_redelivery_is_idempotent(spark, tmp_path):
     assert mz.canonical_json(doc_retry) == mz.canonical_json(doc_first)
     # and no quadkey carries duplicate assets
     assert not mz.validate_mosaic(doc_retry)
+
+
+def test_windowed_counts_watermark_matches_batch(spark, tmp_path):
+    """§2.10 watermarked tumbling windows: once the watermark passes a
+    window (later data arrives), its appended row equals the batch
+    aggregation exactly; nothing emits early."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    mk = lambda i, h, m, et, v: Row(  # noqa: E731
+        event_id=i, ts=t0 + timedelta(hours=h, minutes=m),
+        user_id=i % 3, event_type=et, value=float(v), props="{}")
+    early = [mk(1, 0, 5, "a", 1.5), mk(2, 0, 40, "a", 2.0),
+             mk(3, 1, 10, "b", 3.0), mk(4, 1, 50, "a", 0.25)]
+    # a late event for hour 0 arriving in file 2, still inside the
+    # 2h watermark → must merge into hour-0 before it finalizes;
+    # hour 6/7 events advance the watermark past hours 0-1
+    late = [mk(5, 0, 55, "a", 10.0), mk(6, 6, 0, "b", 1.0),
+            mk(7, 7, 30, "a", 4.0)]
+    # append mode evicts with the PREVIOUS batch's watermark, so a
+    # trailing sentinel batch is what flushes hours 0-1
+    sentinel = [mk(8, 24, 0, "z", 0.0)]
+    ev_dir = str(tmp_path / "events")
+    os.makedirs(ev_dir)
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    for name, rows in (("f1", early), ("f2", late), ("f3", sentinel)):
+        pdf = pd.DataFrame([r.asDict() for r in rows])
+        tab = pa.Table.from_pandas(pdf, preserve_index=False)
+        i = tab.schema.get_field_index("ts")
+        tab = tab.set_column(i, "ts", tab["ts"].cast(pa.timestamp("us")))
+        papq.write_table(tab, os.path.join(ev_dir, f"{name}.parquet"))
+    out = streaming.windowed_event_counts(
+        spark, ev_dir, str(tmp_path / "out"),
+        window="1 hour", watermark="2 hours", max_files_per_trigger=1)
+    got = {(r["window_epoch"], r["event_type"]): (r["n_events"], r["sum_value"])
+           for r in out.collect()}
+    batch = (
+        spark.read.parquet(ev_dir)
+        .groupBy(F.unix_timestamp(F.date_trunc("hour", "ts")).alias("we"),
+                 "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("s"))
+    )
+    exp = {(r["we"], r["event_type"]): (r["n"], r["s"]) for r in batch.collect()}
+    h0 = int(t0.timestamp())
+    # exactly the watermark-passed windows (everything except the
+    # sentinel's own window, which the final watermark of 22:00 has not
+    # passed), each equal to the batch aggregation
+    assert got == {k: v for k, v in exp.items() if k != (h0 + 24 * 3600, "z")}
+    assert got[(h0, "a")][0] == 3  # the late event merged before close
