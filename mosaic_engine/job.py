@@ -133,6 +133,15 @@ def main(argv=None):
     kp.add_argument("--out", required=True)
     kp.add_argument("--level", type=int, default=5)
 
+    tl = sub.add_parser(
+        "tiles", help="batched tile reads: requests (tx,ty)@z → assets"
+    )
+    tl.add_argument("--scenes", required=True)
+    tl.add_argument("--requests", required=True, help="parquet with tx,ty")
+    tl.add_argument("--z", type=int, required=True, help="request zoom")
+    tl.add_argument("--out", required=True)
+    _add_cfg_args(tl)
+
     info = sub.add_parser("info", help="stats for a built mosaic dir (A5)")
     info.add_argument("--out", required=True, help="build output dir")
 
@@ -218,6 +227,16 @@ def main(argv=None):
         queries = spark.read.parquet(a.queries)
         res = ops.knn_join(scenes, queries, level=a.level)
         res.write.mode("overwrite").parquet(os.path.join(a.out, "knn.parquet"))
+        print(json.dumps({"elapsed_sec": time.time() - t0, "out": a.out}))
+    elif a.cmd == "tiles":
+        from . import mosaic, ops
+
+        cfg = _cfg_from_args(a)
+        scenes = spark.read.parquet(a.scenes)
+        assign = mosaic.quadkey_assignments(scenes, cfg)
+        requests = spark.read.parquet(a.requests)
+        res = ops.assets_for_tiles(assign, requests, a.z, cfg.quadkey_zoom)
+        res.write.mode("overwrite").parquet(os.path.join(a.out, "tiles.parquet"))
         print(json.dumps({"elapsed_sec": time.time() - t0, "out": a.out}))
     return 0
 

@@ -165,3 +165,33 @@ def test_knn_adversarial_probes_match_brute(spark, scenes_df, level):
     assert [g[:3] for g in got] == [e[:3] for e in exp]
     for g, e in zip(got, exp):
         assert g[3] == pytest.approx(e[3], rel=1e-12)
+
+
+def test_knn_random_global_probes_match_brute(spark, scenes_df):
+    """120 seeded-random probes across the full globe — including
+    latitudes beyond the mercator clamp (±85.05..) and random k — must
+    equal brute force at coarse AND fine banding levels. This sweeps
+    the bound math (wrapped lon, meridian stationary latitude, R*
+    counting) over inputs no hand-written case anticipates."""
+    from pyspark.sql import Row
+
+    rng = np.random.default_rng(42)
+    n = 120
+    lons = rng.uniform(-180.0, 180.0, n)
+    lats = rng.uniform(-89.0, 89.0, n)
+    ks = rng.integers(1, 8, n)
+    # pin a few extremes over the random draw
+    lons[:4] = [-180.0, 180.0, 0.0, 179.999]
+    lats[:4] = [88.9, -88.9, 0.0, -85.0511]
+    queries = spark.createDataFrame(
+        [Row(query_id=i, lon=float(lons[i]), lat=float(lats[i]), k=int(ks[i]))
+         for i in range(n)]
+    )
+    exp = sorted(map(tuple, ops.knn_bruteforce(scenes_df, queries).collect()))
+    for level in (2, 6, 9):
+        got = sorted(
+            map(tuple, ops.knn_join(scenes_df, queries, level=level).collect())
+        )
+        assert [g[:3] for g in got] == [e[:3] for e in exp], f"level={level}"
+        for g, e in zip(got, exp):
+            assert g[3] == pytest.approx(e[3], rel=1e-12)
