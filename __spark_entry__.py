@@ -38,7 +38,42 @@ Z_TILE = 8
 Z_ANTI = 6
 
 
+_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make mosaic_engine importable in Python workers no matter how the
+    harness built the session (PYTHONPATH env only helps if it was set
+    BEFORE the JVM launched, and worker cwd may not be the repo):
+    zip the package once per process and sc.addPyFile it per context —
+    the local equivalent of `spark-submit --py-files`."""
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"mosaic_engine_pyfiles_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        pkg = os.path.join(_REPO, "mosaic_engine")
+        with zipfile.ZipFile(zpath, "w") as z:
+            for fn in sorted(os.listdir(pkg)):
+                if fn.endswith(".py"):
+                    z.write(
+                        os.path.join(pkg, fn),
+                        arcname=os.path.join("mosaic_engine", fn),
+                    )
+    try:
+        sc.addPyFile(zpath)
+    except Exception:
+        pass  # already added or unsupported — PYTHONPATH fallback applies
+    _SHIPPED.add(id(sc))
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ship_package(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
@@ -1072,6 +1107,7 @@ _FIXTURE_CACHE: dict[str, str] = {}
 
 def _engine_scenes(spark):
     """Deterministic synthetic scenes parquet (cached per process)."""
+    _ship_package(spark)
     if "scenes" not in _FIXTURE_CACHE:
         import tempfile
 
