@@ -525,6 +525,69 @@ def sql_ngram_jaccard():
     )
 
 
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: banded candidates (pigeonhole-complete
+    for hamming ≤ 3), exact bit_count(xor) verification."""
+    return textops.simhash_pairs(_t(spark, sf_dir, "documents"))
+
+
+def sql_simhash64():
+    code = token_code_sql("token")
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN ((({code} * {a} + {b}) % {P}) & 1) = 1 "
+        f"THEN cnt ELSE -cnt END) AS s{k}"
+        for k, (a, b) in enumerate(textops.SIM64_AB)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{k} > 0 THEN {1 << k} ELSE 0 END)"
+        for k in range(textops.SIM64_BITS)
+    )
+    return (
+        f"SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM ("
+        f"SELECT doc_id, {bit_sums} FROM ("
+        f"SELECT doc_id, token, count(*) AS cnt FROM ({textops.TOKENS_SQL}) "
+        "GROUP BY doc_id, token) GROUP BY doc_id)"
+    )
+
+
+def sql_simhash_pairs():
+    sig = sql_simhash64()
+    rows = textops.SIM64_BITS // textops.SIMHASH_BANDS
+    mask = (1 << rows) - 1
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, (simhash >> {b * rows}) & {mask} AS key FROM sig"
+        for b in range(textops.SIMHASH_BANDS)
+    )
+    return (
+        f"WITH sig AS ({sig}), banded AS ({bands}), "
+        "cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b "
+        "FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key "
+        "AND l.doc_id < r.doc_id) "
+        "SELECT doc_a, doc_b, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming "
+        "FROM cand JOIN sig a ON cand.doc_a = a.doc_id "
+        "JOIN sig b ON cand.doc_b = b.doc_id "
+        "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"
+    )
+
+
+def q_token_count_bpe(spark, sf_dir):
+    return textops.token_count_bpe(_t(spark, sf_dir, "documents"))
+
+
+def sql_token_count_bpe():
+    pat = textops.BPE_PATTERN
+    return (
+        "SELECT doc_id, "
+        "CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), "
+        "x -> x <> '')) AS INT) AS n_ws_tokens, "
+        f"CAST(len(regexp_extract_all(lower(text), '{pat}')) AS INT) AS n_bpe_tokens, "
+        "CAST(length(lower(text)) AS DOUBLE) / "
+        f"CAST(greatest(len(regexp_extract_all(lower(text), '{pat}')), 1) AS DOUBLE) "
+        "AS chars_per_bpe FROM documents"
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clusters: connected components over LSH candidate pairs
     (min-label propagation), cluster id = min doc_id in component."""
@@ -1368,7 +1431,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_simhash,
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_simhash_pairs": q_simhash_pairs,
         "text_lang_id": q_lang_id,
+        "text_token_count_bpe": q_token_count_bpe,
         "text_quality": q_quality,
         "text_token_stats": q_token_stats,
         "text_fingerprint": q_fingerprint,
@@ -1409,7 +1474,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": sql_simhash(),
         "dedup_ngram_jaccard": sql_ngram_jaccard(),
         "dedup_clusters": sql_dedup_clusters(),
+        "dedup_simhash_pairs": sql_simhash_pairs(),
         "text_lang_id": sql_lang_id(),
+        "text_token_count_bpe": sql_token_count_bpe(),
         "text_quality": sql_quality(),
         "text_token_stats": sql_token_stats(),
         "text_fingerprint": sql_fingerprint(),

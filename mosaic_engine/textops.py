@@ -193,6 +193,122 @@ def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     return agg.select("doc_id", sig.alias("simhash"))
 
 
+SIMHASH_BANDS = 4  # 60 bits → 4 bands × 15 bits (32k buckets per band)
+SIM64_BITS = 60  # stays below the signed-long sign bit
+# per-bit mixers: bit k = parity of (code * A_k + B_k) mod P — the
+# 16-bit simhash's raw code bits don't extend past ~30, mixing does
+SIM64_AB = [(1000003 * k + 7919, 104729 * k + 12345) for k in range(SIM64_BITS)]
+
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """Wide (60-bit) SimHash over token-frequency vectors: bit k weighs
+    each distinct token by count with sign = parity of an affine re-hash
+    of its code (mod P). Two commutative aggregation levels, JVM-only."""
+    tc = (
+        tokens(docs)
+        .withColumn("code", token_code(F.col("token")))
+        .groupBy("doc_id", "code")
+        .agg(F.count("*").alias("cnt"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.pmod(
+                    F.col("code") * F.lit(a).cast("long") + F.lit(b).cast("long"),
+                    F.lit(P).cast("long"),
+                ).bitwiseAND(F.lit(1))
+                == 1,
+                F.col("cnt"),
+            ).otherwise(-F.col("cnt"))
+        ).alias(f"s{k}")
+        for k, (a, b) in enumerate(SIM64_AB)
+    ]
+    agg = tc.groupBy("doc_id").agg(*bit_sums)
+    sig = F.lit(0).cast("long")
+    for k in range(SIM64_BITS):
+        sig = sig + F.when(F.col(f"s{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bands: int = SIMHASH_BANDS,
+) -> DataFrame:
+    """SimHash near-dup pairs: banded candidate generation over the
+    64-bit signature + exact hamming verification (bit_count of xor).
+
+    Pigeonhole completeness: a pair with hamming ≤ bands-1 must agree
+    exactly on at least one of the `bands` 16-bit chunks, so the band
+    equi-join candidates are a SUPERSET of every qualifying pair — the
+    same bucketed-not-all-pairs scale shape as minhash_lsh_pairs, with
+    2^16 buckets per band keeping collision groups small."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"banded candidates are only complete for max_hamming < bands "
+            f"({max_hamming} >= {bands})"
+        )
+    bits = SIM64_BITS
+    sig = simhash64(docs)
+    rows = bits // bands
+    mask = (1 << rows) - 1
+    parts = [
+        sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.shiftright("simhash", b * rows).bitwiseAND(F.lit(mask)).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = parts[0]
+    for p in parts[1:]:
+        banded = banded.unionByName(p)
+    l = banded.alias("l")
+    r = banded.alias("r")
+    cand = (
+        l.join(r, ["band", "key"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+BPE_PATTERN = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+def token_count_bpe(docs: DataFrame) -> DataFrame:
+    """Token counting two ways (task brief): whitespace tokens and a
+    BPE-ish pre-tokenizer regex (letter runs / digit runs / punct runs,
+    each optionally space-prefixed — the GPT-2 pre-tokenizer shape with
+    charclass-only syntax so Java regex and RE2 agree)."""
+    lower = F.lower(F.col("text"))
+    ws = F.filter(F.split(lower, r"\s+"), lambda x: x != "")
+    bpe = F.regexp_extract_all(lower, F.lit(BPE_PATTERN), 0)
+    return docs.select(
+        "doc_id",
+        F.size(ws).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        (
+            F.length(lower).cast("double")
+            / F.greatest(F.size(bpe), F.lit(1)).cast("double")
+        ).alias("chars_per_bpe"),
+    )
+
+
 def char_ngrams(docs: DataFrame, n: int = 4) -> DataFrame:
     """(doc_id, distinct char n-gram) of the lowercased text — JVM-side
     via sequence+substring explode (no Python)."""

@@ -241,3 +241,44 @@ def test_dedup_clusters_chain_propagation_and_singletons(spark):
     got = {r["doc_id"]: r["cluster_id"]
            for r in textops.dedup_clusters(docs, pairs=pairs).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 6, 7: 6}
+
+
+def test_simhash_pairs_complete_vs_exact_allpairs(spark, docs):
+    """Banded candidates must find EVERY pair with hamming ≤ 3 (the
+    pigeonhole guarantee) — verified against an exact all-pairs check
+    on the wide signature; reported hamming values are exact."""
+    sig = {r["doc_id"]: r["simhash"]
+           for r in textops.simhash64(docs).collect()}
+    ids = sorted(sig)
+    exp = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sig[a] ^ sig[b]).count("1")
+            if h <= 3:
+                exp[(a, b)] = h
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in textops.simhash_pairs(docs).collect()}
+    assert got == exp
+    assert got, "fixture must contain at least one near-dup pair"
+    with pytest.raises(ValueError, match="complete"):
+        textops.simhash_pairs(docs, max_hamming=4)
+
+
+def test_token_count_bpe_matches_scalar(spark):
+    import re
+
+    rows = [
+        Row(doc_id=1, text="Hello, wo9rld  foo", lang="en", source="a", n_chars=18),
+        Row(doc_id=2, text="it's 2024!", lang="en", source="a", n_chars=10),
+        Row(doc_id=3, text="   ", lang="en", source="a", n_chars=3),
+    ]
+    out = {r["doc_id"]: r for r in
+           textops.token_count_bpe(spark.createDataFrame(rows)).collect()}
+    for r in rows:
+        t = r.text.lower()
+        ws = len([x for x in re.split(r"\s+", t) if x])
+        bpe = len(re.findall(textops.BPE_PATTERN, t))
+        assert out[r.doc_id]["n_ws_tokens"] == ws, r.doc_id
+        assert out[r.doc_id]["n_bpe_tokens"] == bpe, r.doc_id
+        assert out[r.doc_id]["chars_per_bpe"] == pytest.approx(
+            len(t) / max(bpe, 1))
