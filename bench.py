@@ -107,9 +107,13 @@ def main():
         "geo_knn_brute",
         "dedup_minhash_lsh_pairs",
         "dedup_simhash",
+        "dedup_simhash_pairs",
+        "dedup_clusters",
         "text_fingerprint",
+        "text_token_count_bpe",
         "ann_cosine_topk",
         "ann_lsh_topk",
+        "ann_ivf_topk",
         "tpch_q1",
         "tpch_q3",
     ):

@@ -5,12 +5,19 @@ quantized to integer vectors (round(x*1000) — standard int quantization
 in ANN systems), so dot products are exact integer sums (< 2^53, exact
 even in double accumulation — no float-order nondeterminism), and the
 random-hyperplane LSH uses integer pseudo-random weights, making bucket
-assignment bit-reproducible in any engine. All column math is
-pyspark.sql.functions (JVM/codegen); no Python UDFs.
+assignment bit-reproducible in any engine. Pairwise column math is
+pyspark.sql.functions (JVM); the IVF centroid scoring is a vectorized
+Arrow matmul (exact int64 — Catalyst's higher-order functions
+interpret per row, while a batch matmul is ~1000× cheaper and equally
+deterministic because every dot is an exact integer).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd  # module-level: pandas_udf resolves the stringified
+# type hints ('pd.Series') of UDFs defined under `from __future__
+# import annotations` against the DEFINING module's globals
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -244,23 +251,37 @@ def ivf_centroids(emb: DataFrame, n_list: int = N_LIST, iters: int = IVF_ITERS):
 
 
 def _ivf_assign_col(cents, qcol: str) -> Column:
-    """argmax_j cos(q, centroid_j), ties → smallest cid. Centroids are
-    integer literals: the dot is exact, the score is one IEEE division
-    by a sqrt of an exact integer — identical in any engine, and the
-    whole expression stays in codegen (no join, no shuffle)."""
-    best = None
-    for cid, vec in cents:
-        w = F.array(*[F.lit(int(v)).cast("long") for v in vec])
-        ncc = sum(v * v for v in vec)
-        if ncc == 0:
-            score = F.lit(float("-inf"))
-        else:
-            score = dot_long(F.col(qcol), w).cast("double") / F.sqrt(
-                F.lit(float(ncc))
+    """argmax_j cos(q, centroid_j), ties → smallest cid, as ONE Arrow
+    batch matmul (int64 — exact, so summation order cannot perturb the
+    result and the SQL oracle reproduces it bit-for-bit). A Column
+    formulation (16 literal-centroid aggregate/zip_with dots per row)
+    is interpreted per-row by Catalyst's higher-order functions — ~70µs
+    per dot; the numpy matmul is ~1000× cheaper per row."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    C = np.array([v for _, v in cents], dtype=np.int64)
+    ncc = (C * C).sum(axis=1)
+    den = np.sqrt(ncc.astype(np.float64))
+    valid = ncc > 0
+
+    @pandas_udf(T.LongType())
+    def assign(q: pd.Series) -> pd.Series:
+        if len(q) == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        Q = np.vstack(q.to_numpy())  # (n, DIM) int64
+        dots = Q.astype(np.int64) @ C.T  # exact
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scores = np.where(
+                valid, dots.astype(np.float64) / den, -np.inf
             )
-        cand = F.struct((-score).alias("ns"), F.lit(cid).alias("cid"))
-        best = cand if best is None else F.least(best, cand)
-    return best["cid"]
+        # argmax takes the FIRST max; cents are cid-sorted → min-cid tie
+        return pd.Series(cids[np.argmax(scores, axis=1)])
+
+    return assign(F.col(qcol))
 
 
 def ivf_topk(
@@ -284,15 +305,8 @@ def ivf_topk(
         F.col("q").alias("qq"),
         F.col("norm2").alias("qn2"),
     )
-    probe_structs = _ivf_probe_structs(cents)
     probes = qs.withColumn(
-        "cid",
-        F.explode(
-            F.transform(
-                F.slice(F.sort_array(F.array(*probe_structs)), 1, n_probe),
-                lambda s: s["cid"],
-            )
-        ),
+        "cid", F.explode(_ivf_probe_col(cents, "qq", n_probe))
     )
     cand = base.join(F.broadcast(probes), "cid").filter(
         F.col("vec_id") != F.col("query_id")
@@ -321,21 +335,35 @@ def ivf_topk(
     )
 
 
-def _ivf_probe_structs(cents) -> list[Column]:
-    """(-cos(qq, centroid), cid) structs for probe-list selection (the
-    same integer-exact centroid expression as assignment, over qq)."""
-    out = []
-    for cid, vec in cents:
-        w = F.array(*[F.lit(int(v)).cast("long") for v in vec])
-        ncc = sum(v * v for v in vec)
-        if ncc == 0:
-            score = F.lit(float("-inf"))
-        else:
-            score = dot_long(F.col("qq"), w).cast("double") / F.sqrt(
-                F.lit(float(ncc))
-            )
-        out.append(F.struct((-score).alias("ns"), F.lit(cid).alias("cid")))
-    return out
+def _ivf_probe_col(cents, qcol: str, n_probe: int) -> Column:
+    """Array of the n_probe best centroid ids per query (score desc,
+    cid asc tiebreak) — same exact-integer scoring as assignment."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    C = np.array([v for _, v in cents], dtype=np.int64)
+    ncc = (C * C).sum(axis=1)
+    den = np.sqrt(ncc.astype(np.float64))
+    valid = ncc > 0
+    take = min(n_probe, len(cents))
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def probe(q: pd.Series) -> pd.Series:
+        out = []
+        for vec in q:  # query side is bounded by contract
+            dots = np.asarray(vec, dtype=np.int64) @ C.T
+            with np.errstate(divide="ignore", invalid="ignore"):
+                scores = np.where(
+                    valid, dots.astype(np.float64) / den, -np.inf
+                )
+            order = np.lexsort((cids, -scores))
+            out.append(cids[order[:take]].tolist())
+        return pd.Series(out)
+
+    return probe(F.col(qcol))
 
 
 def lsh_band_col(qcol, band: int, rows: int) -> Column:

@@ -2,10 +2,13 @@
 
 First-class training-data-pipeline components (task brief): exact dedup,
 MinHash+LSH, SimHash, n-gram Jaccard, language-ID, quality scoring,
-token counting, document fingerprinting. Everything is built from
-pyspark.sql.functions only (JVM-side, whole-stage codegen) — no Python
-UDFs — so each op scales with partition-parallel shuffles on document
-keys and admits a literal ANSI-SQL oracle (same arithmetic in DuckDB).
+token counting, document fingerprinting, near-dup clustering. Almost
+everything is pyspark.sql.functions only (JVM-side, whole-stage
+codegen); the one exception is the 60-bit simhash64 reduction, whose
+60-wide aggregate exceeds codegen's method limit and therefore runs as
+a single integer-exact Arrow kernel instead. Each op scales with
+partition-parallel shuffles on document keys and admits a literal
+ANSI-SQL oracle (same arithmetic in DuckDB).
 
 Determinism: token hashes are explicit polynomial hashes over the first
 HASH_PREFIX chars' code points (mod P), NOT engine-native hash
@@ -14,6 +17,8 @@ functions (xxhash64 etc. differ across engines and versions).
 
 from __future__ import annotations
 
+import numpy as np  # module-level so pandas_udf can resolve the
+import pandas as pd  # stringified type hints under future annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -200,34 +205,58 @@ SIM64_BITS = 60  # stays below the signed-long sign bit
 SIM64_AB = [(1000003 * k + 7919, 104729 * k + 12345) for k in range(SIM64_BITS)]
 
 
+_PACK_SHIFT = 20  # per-doc token counts fit 20 bits; codes fit 30
+
+
 def simhash64(docs: DataFrame) -> DataFrame:
     """Wide (60-bit) SimHash over token-frequency vectors: bit k weighs
     each distinct token by count with sign = parity of an affine re-hash
-    of its code (mod P). Two commutative aggregation levels, JVM-only."""
+    of its code (mod P).
+
+    A 60-wide Column aggregation blows whole-stage codegen's method
+    limit and runs interpreted (~10× the whole op), so the signature is
+    one fused Arrow kernel instead: collect the packed (code, cnt)
+    pairs per doc (ObjectHashAggregate, partial-merge capable — order
+    inside the list is irrelevant because the bit sums are commutative
+    and exact integers), then a vectorized numpy pass (parities →
+    reduceat → bit pack) per batch. Bit-identical to the SQL oracle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
     tc = (
         tokens(docs)
         .withColumn("code", token_code(F.col("token")))
         .groupBy("doc_id", "code")
         .agg(F.count("*").alias("cnt"))
     )
-    bit_sums = [
-        F.sum(
-            F.when(
-                F.pmod(
-                    F.col("code") * F.lit(a).cast("long") + F.lit(b).cast("long"),
-                    F.lit(P).cast("long"),
-                ).bitwiseAND(F.lit(1))
-                == 1,
-                F.col("cnt"),
-            ).otherwise(-F.col("cnt"))
-        ).alias(f"s{k}")
-        for k, (a, b) in enumerate(SIM64_AB)
-    ]
-    agg = tc.groupBy("doc_id").agg(*bit_sums)
-    sig = F.lit(0).cast("long")
-    for k in range(SIM64_BITS):
-        sig = sig + F.when(F.col(f"s{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
-    return agg.select("doc_id", sig.alias("simhash"))
+    packed = tc.groupBy("doc_id").agg(
+        F.collect_list(
+            F.shiftleft(F.col("code"), _PACK_SHIFT) + F.col("cnt")
+        ).alias("packed")
+    )
+    A = np.array([a for a, _ in SIM64_AB], dtype=np.int64)
+    B = np.array([b for _, b in SIM64_AB], dtype=np.int64)
+    POWS = (np.int64(1) << np.arange(SIM64_BITS, dtype=np.int64)).astype(
+        np.int64
+    )
+
+    @pandas_udf(T.LongType())
+    def sig(packed: pd.Series) -> pd.Series:
+        lens = np.fromiter((len(v) for v in packed), dtype=np.int64, count=len(packed))
+        if lens.sum() == 0:
+            return pd.Series(np.zeros(len(packed), dtype=np.int64))
+        flat = np.concatenate([np.asarray(v, dtype=np.int64) for v in packed])
+        codes = flat >> _PACK_SHIFT
+        cnts = flat & ((1 << _PACK_SHIFT) - 1)
+        par = ((codes[:, None] * A + B) % P) & 1
+        contrib = (2 * par - 1) * cnts[:, None]
+        offs = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        sums = np.add.reduceat(contrib, offs, axis=0)
+        return pd.Series(((sums > 0).astype(np.int64) * POWS).sum(axis=1))
+
+    return packed.select("doc_id", sig("packed").alias("simhash"))
 
 
 def simhash_pairs(
@@ -249,7 +278,9 @@ def simhash_pairs(
             f"({max_hamming} >= {bands})"
         )
     bits = SIM64_BITS
-    sig = simhash64(docs)
+    # three downstream branches (banding + both verify joins) would
+    # re-run the tokenize+signature lineage; materialize it once
+    sig = simhash64(docs).localCheckpoint(eager=True)
     rows = bits // bands
     mask = (1 << rows) - 1
     parts = [
