@@ -139,6 +139,106 @@ def windowed_event_counts(
     return spark.read.parquet(os.path.join(out_dir, "counts"))
 
 
+def run_streaming_sessions(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    gap_sec: int = 1800,
+    watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
+) -> "DataFrame":
+    """Custom stateful streaming operator (§2.10's
+    applyInPandasWithState shape): event-time sessionization with a
+    gap timeout.
+
+    Per user the state holds the open session (start, last, n, sum);
+    events arriving within `gap_sec` of the last one extend it, a
+    larger gap closes it inline, and the event-time timeout
+    (watermark passing last + gap) closes idle sessions — so a session
+    only ever emits once, after no in-watermark event can extend it.
+    Events later than the watermark are dropped by the engine (the
+    standard event-time contract). Emits
+    (user_id, session_start, n_events, sum_value).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from pyspark.sql import functions as F
+
+    schema = spark.read.parquet(events_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = (
+        reader.parquet(events_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .select("user_id", "ts", "value")
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        uid = key[0]
+        if state.hasTimedOut:
+            start, last, n, s = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid],
+                    "session_start": [start],
+                    "n_events": [n],
+                    "sum_value": [s],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        epochs = rows["ts"].to_numpy("datetime64[ns]").astype("int64") // 10**9
+        vals = rows["value"].to_numpy()
+        if state.exists:
+            start, last, n, s = state.get
+        else:
+            start = None
+        closed = []
+        for e, v in zip(epochs.tolist(), vals.tolist()):
+            if start is None:
+                start, last, n, s = e, e, 1, float(v)
+            elif e - last > gap_sec:
+                closed.append((start, n, s))
+                start, last, n, s = e, e, 1, float(v)
+            else:
+                last, n, s = e, n + 1, s + float(v)
+        state.update((start, last, n, s))
+        # close the open session once the watermark passes last + gap
+        state.setTimeoutTimestamp((last + gap_sec) * 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid] * len(closed),
+                    "session_start": [c[0] for c in closed],
+                    "n_events": [c[1] for c in closed],
+                    "sum_value": [c[2] for c in closed],
+                }
+            )
+
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, session_start long, "
+        "n_events int, sum_value double",
+        stateStructType="start long, last long, n int, s double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", os.path.join(out_dir, "sessions"))
+        .option("checkpointLocation", os.path.join(out_dir, "_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(out_dir, "sessions"))
+
+
 def finalize(
     spark: SparkSession, scenes_dir: str, cfg: MosaicConfig, work_dir: str
 ) -> dict:

@@ -144,3 +144,49 @@ def test_windowed_counts_watermark_matches_batch(spark, tmp_path):
     # passed), each equal to the batch aggregation
     assert got == {k: v for k, v in exp.items() if k != (h0 + 24 * 3600, "z")}
     assert got[(h0, "a")][0] == 3  # the late event merged before close
+
+
+def test_streaming_sessions_stateful_matches_oracle(spark, tmp_path):
+    """applyInPandasWithState sessionization: gap-closed sessions emit
+    inline, idle sessions close via event-time timeout when the
+    watermark passes last+gap; each session emits exactly once."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    ep0 = int(t0.timestamp())
+    mk = lambda i, u, mins, v: Row(  # noqa: E731
+        event_id=i, ts=t0 + timedelta(minutes=mins), user_id=u,
+        event_type="x", value=float(v), props="{}")
+    # user 1: session A (0, 10min), session B (2h..2h05); user 2: one
+    # session spanning both files (55min arrives late in file 2 but
+    # within the 2h watermark)
+    f1 = [mk(1, 1, 0, 1.0), mk(2, 1, 10, 2.0), mk(3, 2, 0, 5.0)]
+    f2 = [mk(4, 1, 120, 0.5), mk(5, 1, 125, 0.25), mk(6, 2, 25, 7.0)]
+    sentinel = [mk(9, 99, 60 * 24, 0.0)]
+    ev_dir = str(tmp_path / "events")
+    os.makedirs(ev_dir)
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    for name, rows in (("f1", f1), ("f2", f2), ("f3", sentinel)):
+        pdf = pd.DataFrame([r.asDict() for r in rows])
+        tab = pa.Table.from_pandas(pdf, preserve_index=False)
+        i = tab.schema.get_field_index("ts")
+        tab = tab.set_column(i, "ts", tab["ts"].cast(pa.timestamp("us")))
+        papq.write_table(tab, os.path.join(ev_dir, f"{name}.parquet"))
+    out = streaming.run_streaming_sessions(
+        spark, ev_dir, str(tmp_path / "out"),
+        gap_sec=1800, watermark="2 hours", max_files_per_trigger=1)
+    got = {(r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+           for r in out.collect()}
+    # closed sessions: user1 A (2 events), user1 B (2 events — closed
+    # by the sentinel's watermark), user2 (2 events, late-arriving
+    # second event merged). The sentinel user's own session stays open.
+    assert got == {
+        (1, ep0): (2, 3.0),
+        (1, ep0 + 7200): (2, 0.75),
+        (2, ep0): (2, 12.0),
+    }
