@@ -453,8 +453,11 @@ def dedup_clusters(
         n_changed = updated.agg(F.sum("changed")).first()[0] or 0
         labels = updated.drop("changed")
         if n_changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"dedup_clusters did not converge in {max_iters} rounds "
+        "(component diameter exceeds max_iters) — raise max_iters"
+    )
 
 
 def lang_id(docs: DataFrame) -> DataFrame:

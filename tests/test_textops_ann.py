@@ -282,3 +282,15 @@ def test_token_count_bpe_matches_scalar(spark):
         assert out[r.doc_id]["n_bpe_tokens"] == bpe, r.doc_id
         assert out[r.doc_id]["chars_per_bpe"] == pytest.approx(
             len(t) / max(bpe, 1))
+
+
+def test_dedup_clusters_raises_when_not_converged(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"d{i}", lang="en", source="a", n_chars=2)
+         for i in range(6)]
+    )
+    chain = spark.createDataFrame(
+        [Row(doc_a=i, doc_b=i + 1) for i in range(5)]
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        textops.dedup_clusters(docs, pairs=chain, max_iters=2)
