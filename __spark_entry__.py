@@ -48,7 +48,8 @@ def _ship_package(spark: SparkSession) -> None:
     zip the package once per process and sc.addPyFile it per context —
     the local equivalent of `spark-submit --py-files`."""
     sc = spark.sparkContext
-    if id(sc) in _SHIPPED:
+    key = sc.applicationId  # unique per context (id() can be reused)
+    if key in _SHIPPED:
         return
     import tempfile
     import zipfile
@@ -67,9 +68,9 @@ def _ship_package(spark: SparkSession) -> None:
                     )
     try:
         sc.addPyFile(zpath)
+        _SHIPPED.add(key)  # only on success — a failure retries next call
     except Exception:
-        pass  # already added or unsupported — PYTHONPATH fallback applies
-    _SHIPPED.add(id(sc))
+        pass  # unsupported context — the PYTHONPATH fallback applies
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

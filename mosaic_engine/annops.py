@@ -389,29 +389,22 @@ def neardup_pairs(
     (the old same-label blocking was quadratic within a label). Banding
     over J/bands-bit buckets trades bucket size for recall exactly like
     minhash_lsh_pairs."""
+    from .textops import banded_candidate_pairs
+
     rows = N_PLANES // bands
     base = with_quantized(emb)
     parts = [
         base.select(
             "vec_id",
             F.lit(b).alias("band"),
-            lsh_band_col(F.col("q"), b, rows).alias("bucket"),
+            lsh_band_col(F.col("q"), b, rows).alias("key"),
         )
         for b in range(bands)
     ]
     banded = parts[0]
     for p in parts[1:]:
         banded = banded.unionByName(p)
-    l = banded.alias("l")
-    r = banded.alias("r")
-    cand = (
-        l.join(r, ["band", "bucket"])
-        .filter(F.col("l.vec_id") < F.col("r.vec_id"))
-        .select(
-            F.col("l.vec_id").alias("vec_a"), F.col("r.vec_id").alias("vec_b")
-        )
-        .distinct()
-    )
+    cand = banded_candidate_pairs(banded, "vec_id", "vec_a", "vec_b")
     qa = base.select(
         F.col("vec_id").alias("vec_a"),
         F.col("q").alias("q_a"),

@@ -35,14 +35,15 @@ def input_snapshot_hash(df: DataFrame) -> str:
     in-place rewrite (same path, new bytes) invalidates checkpoints; a
     non-local/remote path (s3://, snapshot-stable catalogs like Iceberg
     whose file names ARE content-addressed) falls back to name-only."""
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
     parts = []
     for uri in sorted(df.inputFiles()):
         parsed = urlparse(uri)
         if parsed.scheme in ("", "file"):
             try:
-                st = os.stat(parsed.path or uri)
+                # inputFiles() percent-encodes (spaces, non-ASCII)
+                st = os.stat(unquote(parsed.path) or uri)
                 parts.append(f"{uri}|{st.st_size}|{st.st_mtime_ns}")
                 continue
             except OSError:

@@ -133,10 +133,13 @@ def pref_key(cfg: MosaicConfig) -> Column:
 def _sel_struct(cfg: MosaicConfig) -> Column:
     """Total-order selection key: lexicographic struct comparison gives
     (pref_key asc, cloud_cover asc, image_id asc) — fully deterministic,
-    usable in min()/sort_array() with map-side partial aggregation."""
+    usable in min()/sort_array() with map-side partial aggregation.
+    NULL cloud_cover (kept by the no-cloud-filter path) coalesces to
+    101 so unknown quality ranks BELOW any measured value on ties —
+    struct ordering would otherwise sort NULL first."""
     return F.struct(
         pref_key(cfg).alias("pref_key"),
-        F.col("cloud_cover").alias("cloud_cover"),
+        F.coalesce(F.col("cloud_cover"), F.lit(101.0)).alias("cloud_cover"),
         F.col("image_id").alias("image_id"),
     ).alias("sel")
 
@@ -313,6 +316,12 @@ def knn_join(
     merc_lat = lambda yy: F.degrees(  # noqa: E731
         F.atan(F.sinh(math.pi * (1.0 - 2.0 * yy / z2)))
     )
+    # the top/bottom tile rows also receive scenes whose centroid lat
+    # exceeds the mercator clamp (±85.05..): stretch those rects to the
+    # poles so every scene mapped into a cell lies INSIDE its rect —
+    # otherwise maxd is not a valid upper bound and pruning goes wrong
+    cn_edge = F.when(cy == 0, F.lit(90.0)).otherwise(merc_lat(cy))
+    cs_edge = F.when(cy == nmax, F.lit(-90.0)).otherwise(merc_lat(cy + 1))
     stats = (
         sc.groupBy("cell")
         .agg(F.count("*").alias("n_in_cell"))
@@ -320,9 +329,9 @@ def knn_join(
             "cell",
             "n_in_cell",
             (cx / z2 * 360.0 - 180.0).alias("cw"),
-            merc_lat(cy + 1).alias("cs"),
+            cs_edge.alias("cs"),
             ((cx + 1) / z2 * 360.0 - 180.0).alias("ce"),
-            merc_lat(cy).alias("cn"),
+            cn_edge.alias("cn"),
         )
     )
     # stats is bounded (≤ 4^level rows) but its lineage scans the whole
@@ -571,9 +580,16 @@ def assets_for_tiles(
             F.lit(quadkey_zoom),
         )
         keyed = req.withColumn("quadkey", qk)
-        hit = F.broadcast(keyed).join(
-            assign.select("quadkey", "assets"), "quadkey", "left"
+        # outer joins can only broadcast the NON-preserved side, so a
+        # broadcast hint on the preserved request side would be silently
+        # dropped and the full assignments table would shuffle. Instead:
+        # semi-filter assignments by the broadcast requests (small
+        # result), then left-join THAT small side broadcast under the
+        # preserved requests.
+        rel = assign.select("quadkey", "assets").join(
+            F.broadcast(keyed.select("quadkey")), "quadkey", "left_semi"
         )
+        hit = keyed.join(F.broadcast(rel), "quadkey", "left")
         return hit.select(
             "tx",
             "ty",
@@ -609,7 +625,9 @@ def assets_for_tiles(
             ).alias("assets")
         )
     )
-    return req.join(merged, ["tx", "ty"], "left").select(
+    # merged is ≤ |requests| rows → broadcastable as the non-preserved
+    # side of the left join
+    return req.join(F.broadcast(merged), ["tx", "ty"], "left").select(
         "tx",
         "ty",
         F.coalesce("assets", F.array().cast("array<string>")).alias("assets"),

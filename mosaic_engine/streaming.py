@@ -151,14 +151,16 @@ def run_streaming_sessions(
     applyInPandasWithState shape): event-time sessionization with a
     gap timeout.
 
-    Per user the state holds the open session (start, last, n, sum);
-    events arriving within `gap_sec` of the last one extend it, a
-    larger gap closes it inline, and the event-time timeout
-    (watermark passing last + gap) closes idle sessions — so a session
-    only ever emits once, after no in-watermark event can extend it.
-    Events later than the watermark are dropped by the engine (the
-    standard event-time contract). Emits
-    (user_id, session_start, n_events, sum_value).
+    Per user the state buffers the still-open events (epochs, values);
+    every invocation re-sessionizes the buffer by gap and emits exactly
+    the sessions whose `last + gap ≤ watermark` — only then can no
+    in-watermark event extend or bridge them, so arbitrary in-watermark
+    DISORDER (including an event older than an open session's tail
+    arriving in a later batch) is handled correctly and each session
+    emits exactly once. The event-time timeout fires at the earliest
+    still-open session's close time. Events later than the watermark
+    are dropped by the engine (the standard event-time contract).
+    Emits (user_id, session_start, n_events, sum_value).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -178,44 +180,51 @@ def run_streaming_sessions(
 
     def fn(key, pdfs, state: GroupState):
         uid = key[0]
-        if state.hasTimedOut:
-            start, last, n, s = state.get
-            state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [uid],
-                    "session_start": [start],
-                    "n_events": [n],
-                    "sum_value": [s],
-                }
-            )
-            return
-        rows = pd.concat(list(pdfs)).sort_values("ts")
-        epochs = rows["ts"].to_numpy("datetime64[ns]").astype("int64") // 10**9
-        vals = rows["value"].to_numpy()
+        wm_sec = state.getCurrentWatermarkMs() // 1000
+        eps: list[int] = []
+        vals: list[float] = []
         if state.exists:
-            start, last, n, s = state.get
-        else:
-            start = None
-        closed = []
-        for e, v in zip(epochs.tolist(), vals.tolist()):
-            if start is None:
-                start, last, n, s = e, e, 1, float(v)
-            elif e - last > gap_sec:
-                closed.append((start, n, s))
-                start, last, n, s = e, e, 1, float(v)
+            se, sv = state.get
+            eps, vals = list(se), list(sv)
+        if not state.hasTimedOut:
+            for rows in pdfs:
+                if len(rows):
+                    e = (
+                        rows["ts"].to_numpy("datetime64[ns]").astype("int64")
+                        // 10**9
+                    )
+                    eps.extend(e.tolist())
+                    vals.extend(float(v) for v in rows["value"])
+        order = sorted(range(len(eps)), key=lambda i: eps[i])
+        eps = [eps[i] for i in order]
+        vals = [vals[i] for i in order]
+        # split the buffer into gap sessions
+        sessions: list[tuple[int, int, int]] = []  # (start_idx, end_idx, last)
+        for i, e in enumerate(eps):
+            if not sessions or e - sessions[-1][2] > gap_sec:
+                sessions.append((i, i + 1, e))
             else:
-                last, n, s = e, n + 1, s + float(v)
-        state.update((start, last, n, s))
-        # close the open session once the watermark passes last + gap
-        state.setTimeoutTimestamp((last + gap_sec) * 1000)
+                s0, _, _ = sessions[-1]
+                sessions[-1] = (s0, i + 1, e)
+        closed = [s for s in sessions if s[2] + gap_sec <= wm_sec]
+        kept = [s for s in sessions if s[2] + gap_sec > wm_sec]
+        if kept:
+            k_eps = [e for s in kept for e in eps[s[0]:s[1]]]
+            k_vals = [v for s in kept for v in vals[s[0]:s[1]]]
+            state.update((k_eps, k_vals))
+            # fire when the earliest open session becomes unextendable
+            state.setTimeoutTimestamp(
+                min(s[2] + gap_sec for s in kept) * 1000
+            )
+        else:
+            state.remove()
         if closed:
             yield pd.DataFrame(
                 {
                     "user_id": [uid] * len(closed),
-                    "session_start": [c[0] for c in closed],
-                    "n_events": [c[1] for c in closed],
-                    "sum_value": [c[2] for c in closed],
+                    "session_start": [eps[s[0]] for s in closed],
+                    "n_events": [s[1] - s[0] for s in closed],
+                    "sum_value": [sum(vals[s[0]:s[1]]) for s in closed],
                 }
             )
 
@@ -223,7 +232,7 @@ def run_streaming_sessions(
         fn,
         outputStructType="user_id long, session_start long, "
         "n_events int, sum_value double",
-        stateStructType="start long, last long, n int, s double",
+        stateStructType="epochs array<long>, vals array<double>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

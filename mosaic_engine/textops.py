@@ -143,6 +143,29 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return t.groupBy("doc_id").agg(*aggs)
 
 
+def banded_candidate_pairs(
+    banded: DataFrame,
+    id_col: str = "doc_id",
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
+) -> DataFrame:
+    """The shared LSH-banding candidate generator: (id, band, key) rows
+    → distinct id pairs colliding in at least one band. A hash
+    equi-join on (band, key) — only colliding rows ever meet, the
+    bucketed-not-all-pairs shape every *_pairs op here builds on."""
+    l = banded.alias("l")
+    r = banded.alias("r")
+    return (
+        l.join(r, ["band", "key"])
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias(out_a),
+            F.col(f"r.{id_col}").alias(out_b),
+        )
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     """Candidate near-dup pairs: equal minhash band (LSH banding).
 
@@ -158,22 +181,13 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
             sig.select(
                 "doc_id",
                 F.lit(b).alias("band"),
-                F.concat_ws("_", *cols).alias("bsig"),
+                F.concat_ws("_", *cols).alias("key"),
             )
         )
     banded = bands[0]
     for b in bands[1:]:
         banded = banded.unionByName(b)
-    l = banded.alias("l")
-    r = banded.alias("r")
-    return (
-        l.join(r, ["band", "bsig"])
-        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(
-            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    return banded_candidate_pairs(banded)
 
 
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
@@ -205,7 +219,9 @@ SIM64_BITS = 60  # stays below the signed-long sign bit
 SIM64_AB = [(1000003 * k + 7919, 104729 * k + 12345) for k in range(SIM64_BITS)]
 
 
-_PACK_SHIFT = 20  # per-doc token counts fit 20 bits; codes fit 30
+_PACK_SHIFT = 33  # codes < P < 2^30 shifted clear of a 33-bit count
+# field: a single token would need >8.5e9 occurrences IN ONE DOCUMENT
+# to overflow, and code<<33 stays under 2^63
 
 
 def simhash64(docs: DataFrame) -> DataFrame:
@@ -294,16 +310,7 @@ def simhash_pairs(
     banded = parts[0]
     for p in parts[1:]:
         banded = banded.unionByName(p)
-    l = banded.alias("l")
-    r = banded.alias("r")
-    cand = (
-        l.join(r, ["band", "key"])
-        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(
-            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    cand = banded_candidate_pairs(banded)
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
     return (

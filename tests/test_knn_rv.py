@@ -195,3 +195,31 @@ def test_knn_random_global_probes_match_brute(spark, scenes_df):
         assert [g[:3] for g in got] == [e[:3] for e in exp], f"level={level}"
         for g, e in zip(got, exp):
             assert g[3] == pytest.approx(e[3], rel=1e-12)
+
+
+@pytest.mark.parametrize("level", [6, 9])
+def test_knn_scene_beyond_mercator_clamp_stays_exact(spark, level):
+    """A scene centroid poleward of the mercator clamp (±85.05°) maps
+    into the edge tile row but physically sits up to ~550 km OUTSIDE
+    that row's rect. At fine levels (cell diameter < the overflow) the
+    un-stretched rect's maxd underestimates the pruning radius R*, so
+    the TRUE nearest scene's cell gets pruned and the distant polar
+    scene is returned (code-review r2 finding): probe just south of the
+    top row, polar decoy at 544 km, true neighbor at ~300 km in a cell
+    whose lower bound exceeds the broken R* of ~90 km."""
+    from pyspark.sql import Row
+
+    scenes = spark.createDataFrame(
+        [
+            Row(image_id="POLAR", min_lon=-119.0, max_lon=-117.0,
+                min_lat=89.8, max_lat=90.0),     # centroid (-118, 89.9)
+            Row(image_id="NEAR", min_lon=-87.5, max_lon=-86.5,
+                min_lat=84.5, max_lat=85.5),     # centroid (-87, 85.0)
+        ]
+    )
+    queries = spark.createDataFrame([Row(query_id=0, lon=-118.0, lat=85.0, k=1)])
+    got = ops.knn_join(scenes, queries, level=level).collect()
+    exp = ops.knn_bruteforce(scenes, queries).collect()
+    assert exp[0]["image_id"] == "NEAR"  # the construction is adversarial
+    assert [tuple(r)[:3] for r in got] == [tuple(r)[:3] for r in exp]
+    assert got[0]["dist_m"] == pytest.approx(exp[0]["dist_m"], rel=1e-12)

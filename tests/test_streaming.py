@@ -190,3 +190,44 @@ def test_streaming_sessions_stateful_matches_oracle(spark, tmp_path):
         (1, ep0 + 7200): (2, 0.75),
         (2, ep0): (2, 12.0),
     }
+
+
+def test_streaming_sessions_out_of_order_within_watermark(spark, tmp_path):
+    """An event OLDER than an open session's tail arriving in a later
+    batch (but inside the watermark) must land in ITS OWN session —
+    the buffer-and-close-on-watermark design handles arbitrary
+    in-watermark disorder (code-review r2 finding)."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    ep0 = int(t0.timestamp())
+    mk = lambda i, u, mins, v: Row(  # noqa: E731
+        event_id=i, ts=t0 + timedelta(minutes=mins), user_id=u,
+        event_type="x", value=float(v), props="{}")
+    f1 = [mk(1, 1, 0, 1.0)]
+    f2 = [mk(2, 1, 100, 4.0)]          # opens session B (gap > 30min)
+    f3 = [mk(3, 1, 10, 2.0)]           # LATE: belongs to session A
+    sentinel = [mk(9, 99, 60 * 24, 0.0)]
+    ev_dir = str(tmp_path / "events")
+    os.makedirs(ev_dir)
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    for name, rows in (("f1", f1), ("f2", f2), ("f3", f3), ("f4", sentinel)):
+        pdf = pd.DataFrame([r.asDict() for r in rows])
+        tab = pa.Table.from_pandas(pdf, preserve_index=False)
+        i = tab.schema.get_field_index("ts")
+        tab = tab.set_column(i, "ts", tab["ts"].cast(pa.timestamp("us")))
+        papq.write_table(tab, os.path.join(ev_dir, f"{name}.parquet"))
+    out = streaming.run_streaming_sessions(
+        spark, ev_dir, str(tmp_path / "out"),
+        gap_sec=1800, watermark="2 hours", max_files_per_trigger=1)
+    got = {(r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+           for r in out.collect()}
+    assert got == {
+        (1, ep0): (2, 3.0),          # late event merged into session A
+        (1, ep0 + 6000): (1, 4.0),   # session B NOT contaminated
+    }
