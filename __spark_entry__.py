@@ -589,6 +589,31 @@ def sql_token_count_bpe():
     )
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (rolling k-gram hash, window-min) fingerprints."""
+    return textops.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def sql_winnow_fingerprints():
+    k, w = textops.WINNOW_K, textops.WINNOW_W
+    terms = " + ".join(
+        f"CAST(coalesce(ascii(substr(lt, i + {j}, 1)), 0) AS BIGINT) "
+        f"* CAST({POW31[j]} AS BIGINT)"
+        for j in range(k)
+    )
+    return (
+        "WITH b AS (SELECT doc_id, lower(text) AS lt FROM documents), "
+        "c AS (SELECT doc_id, list_transform("
+        f"generate_series(1, length(lt) - {k - 1}), "
+        f"i -> ({terms}) % {P}) AS codes FROM b), "
+        "wn AS (SELECT doc_id, list_transform("
+        f"generate_series(1, len(codes) - {w - 1}), "
+        f"i -> list_aggregate(list_slice(codes, i, i + {w - 1}), 'min')"
+        ") AS wins FROM c) "
+        "SELECT doc_id, unnest(list_distinct(wins)) AS fp FROM wn"
+    )
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clusters: connected components over LSH candidate pairs
     (min-label propagation), cluster id = min doc_id in component."""
@@ -1438,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_quality,
         "text_token_stats": q_token_stats,
         "text_fingerprint": q_fingerprint,
+        "text_winnow_fingerprints": q_winnow_fingerprints,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1481,6 +1507,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": sql_quality(),
         "text_token_stats": sql_token_stats(),
         "text_fingerprint": sql_fingerprint(),
+        "text_winnow_fingerprints": sql_winnow_fingerprints(),
         "ann_cosine_topk": sql_ann_cosine_topk(),
         "ann_lsh_buckets": sql_ann_lsh_buckets(),
         "ann_lsh_topk": sql_ann_lsh_topk(),

@@ -467,6 +467,60 @@ def dedup_clusters(
     )
 
 
+WINNOW_K = 5  # rolling k-gram length
+WINNOW_W = 4  # winnowing window (positions per window)
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Winnowing document fingerprints (the standard rolling-hash
+    fingerprint scheme): polynomial hash of every char k-gram, then the
+    minimum hash of each w-position window, de-duplicated — documents
+    sharing any sufficiently long substring share fingerprints.
+
+    All array transforms over the text column — a narrow map-only
+    stage; the (doc_id, fingerprint) output joins/aggregates like any
+    other pair table. Docs shorter than k+w-1 chars yield no rows."""
+    lt = F.lower(F.col("text"))
+    n_pos = F.length(lt) - (k - 1)
+    codes = F.when(
+        n_pos >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_pos, F.lit(1))),
+            lambda i: token_code_at(lt, i, k),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    # materialize codes between projections: referencing the expression
+    # inside the window lambda would RECOMPUTE the whole rolling-hash
+    # array per window element (quadratic per doc)
+    staged = docs.select("doc_id", codes.alias("codes"))
+    n_win = F.size("codes") - (w - 1)
+    wins = F.when(
+        n_win >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))),
+            lambda i: F.array_min(F.slice(F.col("codes"), i, w)),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return staged.select(
+        "doc_id", F.explode(F.array_distinct(wins)).alias("fp")
+    )
+
+
+def token_code_at(text_col: Column, pos, k: int) -> Column:
+    """Polynomial hash of the k chars of `text_col` starting at 1-based
+    `pos` (a Column) — the rolling-window form of token_code, same
+    coefficients, so the SQL oracle is the identical expression."""
+    s = None
+    for j in range(k):
+        term = F.coalesce(
+            F.ascii(text_col.substr(pos + j, F.lit(1))), F.lit(0)
+        ).cast("long") * F.lit(POW31[j]).cast("long")
+        s = term if s is None else s + term
+    return F.pmod(s, F.lit(P).cast("long"))
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """Marker-token language ID with deterministic tie order."""
     t = tokens(docs)

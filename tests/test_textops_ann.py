@@ -294,3 +294,32 @@ def test_dedup_clusters_raises_when_not_converged(spark):
     )
     with pytest.raises(RuntimeError, match="converge"):
         textops.dedup_clusters(docs, pairs=chain, max_iters=2)
+
+
+def test_winnow_fingerprints_match_scalar_oracle(spark):
+    """Winnowing vs a direct scalar implementation: same fingerprint
+    sets, shared-substring docs share fingerprints, short docs empty."""
+    rows = [
+        Row(doc_id=1, text="The quick brown fox jumps", lang="en", source="a", n_chars=25),
+        Row(doc_id=2, text="a quick brown fox sleeps", lang="en", source="a", n_chars=24),
+        Row(doc_id=3, text="zz", lang="en", source="a", n_chars=2),  # < k
+        Row(doc_id=4, text="abcdefg", lang="en", source="a", n_chars=7),
+    ]
+    got = {}
+    for r in textops.winnow_fingerprints(spark.createDataFrame(rows)).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    k, w = textops.WINNOW_K, textops.WINNOW_W
+
+    def oracle(t):
+        t = t.lower()
+        codes = [
+            sum(ord(t[i + j]) * textops.POW31[j] for j in range(k))
+            % textops.P
+            for i in range(len(t) - k + 1)
+        ]
+        return {min(codes[i:i + w]) for i in range(len(codes) - w + 1)}
+
+    exp = {r.doc_id: oracle(r.text) for r in rows if len(r.text) >= k + w - 1}
+    assert got == {d: s for d, s in exp.items() if s}
+    # near-dup docs share the 'quick brown fox' fingerprints
+    assert got[1] & got[2]
