@@ -479,46 +479,51 @@ def winnow_fingerprints(
     minimum hash of each w-position window, de-duplicated — documents
     sharing any sufficiently long substring share fingerprints.
 
-    All array transforms over the text column — a narrow map-only
-    stage; the (doc_id, fingerprint) output joins/aggregates like any
-    other pair table. Docs shorter than k+w-1 chars yield no rows."""
-    lt = F.lower(F.col("text"))
-    n_pos = F.length(lt) - (k - 1)
-    codes = F.when(
-        n_pos >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n_pos, F.lit(1))),
-            lambda i: token_code_at(lt, i, k),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    # materialize codes between projections: referencing the expression
-    # inside the window lambda would RECOMPUTE the whole rolling-hash
-    # array per window element (quadratic per doc)
-    staged = docs.select("doc_id", codes.alias("codes"))
-    n_win = F.size("codes") - (w - 1)
-    wins = F.when(
-        n_win >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))),
-            lambda i: F.array_min(F.slice(F.col("codes"), i, w)),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    return staged.select(
-        "doc_id", F.explode(F.array_distinct(wins)).alias("fp")
+    One narrow Arrow stage (a Column/HOF formulation interprets the
+    per-position lambda ~µs/element — 25s at sf0.1; the numpy rolling
+    hash + sliding-window min is exact integer math, so results are
+    bit-identical to the SQL oracle). Docs shorter than k+w-1 chars
+    yield no rows; fingerprints per doc are distinct."""
+    from collections.abc import Iterator
+
+    from pyspark.sql import types as T
+
+    src = docs.select("doc_id", F.lower(F.col("text")).alias("lt"))
+    out_schema = T.StructType(
+        [src.schema["doc_id"], T.StructField("fp", T.LongType())]
     )
+    pows = np.array(POW31[:k], dtype=np.int64)
 
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from numpy.lib.stride_tricks import sliding_window_view
 
-def token_code_at(text_col: Column, pos, k: int) -> Column:
-    """Polynomial hash of the k chars of `text_col` starting at 1-based
-    `pos` (a Column) — the rolling-window form of token_code, same
-    coefficients, so the SQL oracle is the identical expression."""
-    s = None
-    for j in range(k):
-        term = F.coalesce(
-            F.ascii(text_col.substr(pos + j, F.lit(1))), F.lit(0)
-        ).cast("long") * F.lit(POW31[j]).cast("long")
-        s = term if s is None else s + term
-    return F.pmod(s, F.lit(P).cast("long"))
+        for pdf in batches:
+            ids: list = []
+            fps: list = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["lt"]):
+                # codepoints == Spark/DuckDB ascii() semantics
+                cp = np.frombuffer(
+                    t.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                n = len(cp) - (k - 1)
+                m = n - (w - 1)
+                if m < 1:
+                    continue
+                codes = np.zeros(n, dtype=np.int64)
+                for j in range(k):
+                    codes += cp[j:j + n] * pows[j]
+                codes %= P
+                u = np.unique(sliding_window_view(codes, w).min(axis=1))
+                ids.extend([doc_id] * len(u))
+                fps.append(u)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "fp": np.concatenate(fps) if fps else np.empty(0, np.int64),
+                }
+            )
+
+    return src.mapInPandas(run, schema=out_schema)
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
