@@ -795,6 +795,51 @@ def sql_ann_lsh_topk():
     return _ann_topk_sql(bucketed=True)
 
 
+def q_ann_lsh_topk_mp(spark, sf_dir):
+    """Multi-probe LSH ANN: each query also probes the 2 Hamming-1
+    neighbor buckets with the smallest hyperplane margins."""
+    return annops.ann_lsh_topk(_t(spark, sf_dir, "embeddings"), n_probes=3)
+
+
+def sql_ann_lsh_topk_mp(n_probes: int = 3):
+    wdefs = ", ".join(
+        f"[{', '.join(str(v) for v in row)}] AS w{j}"
+        for j, row in enumerate(annops.PLANES)
+    )
+    bucket = (
+        "(" + " + ".join(
+            f"(CASE WHEN list_dot_product(q, CAST(w{j} AS BIGINT[])) >= 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(annops.N_PLANES)
+        ) + ")"
+    )
+    margin_rows = " UNION ALL ".join(
+        f"SELECT query_id, qq, qn2, bucket, {j} AS j, "
+        f"abs(list_dot_product(qq, CAST(w{j} AS BIGINT[]))) AS m FROM qsw"
+        for j in range(annops.N_PLANES)
+    )
+    return (
+        f"WITH base AS (SELECT vec_id, {QUANT_SQL} AS q, "
+        f"CAST(list_dot_product({QUANT_SQL}, {QUANT_SQL}) AS BIGINT) AS norm2 FROM embeddings), "
+        f"bw AS (SELECT *, {wdefs} FROM base), "
+        f"bb AS (SELECT vec_id, q, norm2, {bucket} AS bucket FROM bw), "
+        "qsw AS (SELECT vec_id AS query_id, q AS qq, norm2 AS qn2, "
+        f"{bucket} AS bucket, {wdefs.replace('AS w', 'AS w')} FROM bw WHERE vec_id < 10), "
+        f"mr AS ({margin_rows}), "
+        "flips AS (SELECT query_id, qq, qn2, xor(bucket, 1 << j) AS bucket FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY m, j) AS rn FROM mr) "
+        f"WHERE rn <= {n_probes - 1}), "
+        "pr AS (SELECT query_id, qq, qn2, bucket FROM qsw "
+        "UNION ALL SELECT query_id, qq, qn2, bucket FROM flips), "
+        "scored AS (SELECT pr.query_id, b.vec_id, "
+        "CAST(list_dot_product(b.q, pr.qq) AS DOUBLE) / "
+        "(sqrt(CAST(b.norm2 AS DOUBLE)) * sqrt(CAST(pr.qn2 AS DOUBLE))) AS score "
+        "FROM bb b JOIN pr ON b.bucket = pr.bucket AND b.vec_id <> pr.query_id), "
+        "r AS (SELECT query_id, vec_id, score, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank FROM scored) "
+        "SELECT query_id, rank, vec_id AS neighbor_id, score FROM r WHERE rank <= 5"
+    )
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF ANN: deterministic integer k-means (3 Lloyd iterations, 16
     lists) → probe the 2 best inverted lists → exact cosine top-k."""
@@ -1467,6 +1512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_buckets": q_ann_lsh_buckets,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_topk_mp": q_ann_lsh_topk_mp,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embed_neardup": q_embed_neardup,
         "tpch_q1": q_tpch_q1,
@@ -1511,6 +1557,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": sql_ann_cosine_topk(),
         "ann_lsh_buckets": sql_ann_lsh_buckets(),
         "ann_lsh_topk": sql_ann_lsh_topk(),
+        "ann_lsh_topk_mp": sql_ann_lsh_topk_mp(),
         "ann_ivf_topk": sql_ann_ivf_topk(),
         "embed_neardup": sql_embed_neardup(),
         "tpch_q1": sql_tpch_q1(),
