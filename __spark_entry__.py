@@ -721,10 +721,10 @@ def q_ann_cosine_topk(spark, sf_dir):
     return annops.cosine_topk(_t(spark, sf_dir, "embeddings"))
 
 
-def _ann_topk_sql(bucketed: bool) -> str:
-    planes = ", ".join(
-        "[" + ", ".join(str(v) for v in row) + "]" for row in annops.PLANES
-    )
+def _ann_topk_sql(bucketed: bool, n_probes: int = 1) -> str:
+    """One oracle covers brute-force, single-probe LSH, and multi-probe
+    LSH ANN: `n_probes > 1` adds the margin-ordered Hamming-1 flip CTEs
+    (the identical probe selection as annops.ann_lsh_topk)."""
     bucket = (
         "(" + " + ".join(
             f"(CASE WHEN list_dot_product(q, CAST(w{j} AS BIGINT[])) >= 0 THEN {1 << j} ELSE 0 END)"
@@ -748,17 +748,41 @@ def _ann_topk_sql(bucketed: bool) -> str:
     else:
         base_b = "SELECT vec_id, label, q, norm2, 0 AS bucket FROM base"
         join_cond = "b.vec_id <> qs.query_id"
-    return (
-        f"WITH base AS ({base}), bb AS ({base_b}), "
-        "qs AS (SELECT vec_id AS query_id, q AS qq, norm2 AS qn2, bucket "
-        "FROM bb WHERE vec_id < 10), "
+    ctes = [
+        f"base AS ({base})",
+        f"bb AS ({base_b})",
+        "qs0 AS (SELECT vec_id AS query_id, q AS qq, norm2 AS qn2, bucket "
+        "FROM bb WHERE vec_id < 10)",
+    ]
+    if n_probes > 1:
+        margin_rows = " UNION ALL ".join(
+            f"SELECT query_id, qq, qn2, bucket, {j} AS j, "
+            f"abs(list_dot_product(qq, CAST(w{j} AS BIGINT[]))) AS m FROM qsw"
+            for j in range(annops.N_PLANES)
+        )
+        ctes += [
+            f"qsw AS (SELECT *, {wdefs} FROM qs0)",
+            f"mr AS ({margin_rows})",
+            "flips AS (SELECT query_id, qq, qn2, xor(bucket, 1 << j) AS bucket "
+            "FROM (SELECT *, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY m, j) AS rn FROM mr) "
+            f"WHERE rn <= {n_probes - 1})",
+            "qs AS (SELECT query_id, qq, qn2, bucket FROM qs0 "
+            "UNION ALL SELECT query_id, qq, qn2, bucket FROM flips)",
+        ]
+    else:
+        ctes.append("qs AS (SELECT * FROM qs0)")
+    ctes += [
         "scored AS (SELECT qs.query_id, b.vec_id, "
         "CAST(list_dot_product(b.q, qs.qq) AS DOUBLE) / "
         "(sqrt(CAST(b.norm2 AS DOUBLE)) * sqrt(CAST(qs.qn2 AS DOUBLE))) AS score "
-        f"FROM bb b JOIN qs ON {join_cond}), "
+        f"FROM bb b JOIN qs ON {join_cond})",
         "r AS (SELECT query_id, vec_id, score, "
         "row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank "
-        "FROM scored) "
+        "FROM scored)",
+    ]
+    return (
+        "WITH " + ", ".join(ctes) + " "
         "SELECT query_id, rank, vec_id AS neighbor_id, score FROM r WHERE rank <= 5"
     )
 
@@ -801,43 +825,8 @@ def q_ann_lsh_topk_mp(spark, sf_dir):
     return annops.ann_lsh_topk(_t(spark, sf_dir, "embeddings"), n_probes=3)
 
 
-def sql_ann_lsh_topk_mp(n_probes: int = 3):
-    wdefs = ", ".join(
-        f"[{', '.join(str(v) for v in row)}] AS w{j}"
-        for j, row in enumerate(annops.PLANES)
-    )
-    bucket = (
-        "(" + " + ".join(
-            f"(CASE WHEN list_dot_product(q, CAST(w{j} AS BIGINT[])) >= 0 THEN {1 << j} ELSE 0 END)"
-            for j in range(annops.N_PLANES)
-        ) + ")"
-    )
-    margin_rows = " UNION ALL ".join(
-        f"SELECT query_id, qq, qn2, bucket, {j} AS j, "
-        f"abs(list_dot_product(qq, CAST(w{j} AS BIGINT[]))) AS m FROM qsw"
-        for j in range(annops.N_PLANES)
-    )
-    return (
-        f"WITH base AS (SELECT vec_id, {QUANT_SQL} AS q, "
-        f"CAST(list_dot_product({QUANT_SQL}, {QUANT_SQL}) AS BIGINT) AS norm2 FROM embeddings), "
-        f"bw AS (SELECT *, {wdefs} FROM base), "
-        f"bb AS (SELECT vec_id, q, norm2, {bucket} AS bucket FROM bw), "
-        "qsw AS (SELECT vec_id AS query_id, q AS qq, norm2 AS qn2, "
-        f"{bucket} AS bucket, {wdefs.replace('AS w', 'AS w')} FROM bw WHERE vec_id < 10), "
-        f"mr AS ({margin_rows}), "
-        "flips AS (SELECT query_id, qq, qn2, xor(bucket, 1 << j) AS bucket FROM ("
-        "SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY m, j) AS rn FROM mr) "
-        f"WHERE rn <= {n_probes - 1}), "
-        "pr AS (SELECT query_id, qq, qn2, bucket FROM qsw "
-        "UNION ALL SELECT query_id, qq, qn2, bucket FROM flips), "
-        "scored AS (SELECT pr.query_id, b.vec_id, "
-        "CAST(list_dot_product(b.q, pr.qq) AS DOUBLE) / "
-        "(sqrt(CAST(b.norm2 AS DOUBLE)) * sqrt(CAST(pr.qn2 AS DOUBLE))) AS score "
-        "FROM bb b JOIN pr ON b.bucket = pr.bucket AND b.vec_id <> pr.query_id), "
-        "r AS (SELECT query_id, vec_id, score, row_number() OVER ("
-        "PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank FROM scored) "
-        "SELECT query_id, rank, vec_id AS neighbor_id, score FROM r WHERE rank <= 5"
-    )
+def sql_ann_lsh_topk_mp():
+    return _ann_topk_sql(bucketed=True, n_probes=3)
 
 
 def q_ann_ivf_topk(spark, sf_dir):

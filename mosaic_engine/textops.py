@@ -488,6 +488,8 @@ def winnow_fingerprints(
 
     from pyspark.sql import types as T
 
+    if not 1 <= k <= len(POW31):
+        raise ValueError(f"k must be in [1, {len(POW31)}] (got {k})")
     src = docs.select("doc_id", F.lower(F.col("text")).alias("lt"))
     out_schema = T.StructType(
         [src.schema["doc_id"], T.StructField("fp", T.LongType())]
@@ -501,6 +503,8 @@ def winnow_fingerprints(
             ids: list = []
             fps: list = []
             for doc_id, t in zip(pdf["doc_id"], pdf["lt"]):
+                if t is None:
+                    continue  # NULL text → no fingerprints (oracle parity)
                 # codepoints == Spark/DuckDB ascii() semantics
                 cp = np.frombuffer(
                     t.encode("utf-32-le"), dtype=np.uint32
