@@ -272,9 +272,11 @@ def knn_join(
 
     Millimeter/1e-9-relative margins on both bounds absorb JVM-vs-numpy
     trig ULP drift, so the pruning never excludes a true neighbor.
-    At extreme probe counts (≫ the bounded probe-set contract) stage 2's
-    |probes| × |cells| pair table is the scaling knob: run the same
-    pruning at a coarser parent level first to pre-select cell regions.
+    Stage 2's |probes| × |cells| pair table is the scaling knob: at
+    level ≥ 7 the SAME pruning runs first over 4-level-coarser parent
+    regions (exact — parent rects contain their children and counts
+    aggregate), so each probe meets only the fine cells inside its
+    surviving regions instead of every nonempty cell.
     """
     import math
 
@@ -335,13 +337,12 @@ def knn_join(
         )
     )
     # stats is bounded (≤ 4^level rows) but its lineage scans the whole
-    # corpus; three downstream branches reference it, so materialize the
-    # small result once in executor storage instead of re-scanning
+    # corpus; several downstream branches reference it, so materialize
+    # the small result once in executor storage instead of re-scanning
     stats = stats.localCheckpoint(eager=True)
     # element_at/slice ordinals must be INT (queries may carry k as long)
     kcol = (F.lit(k) if k is not None else F.col("k")).cast("int")
     q = queries.select("query_id", "lon", "lat", kcol.alias("k_req"))
-    pairs = q.join(F.broadcast(stats))
 
     # ---- distance bounds (all native trig → whole-stage codegen) ----
     def _wrapdeg(a: Column, b: Column) -> Column:
@@ -356,45 +357,103 @@ def knn_join(
         )
         return 2.0 * EARTH_R_M * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
 
-    inside_lon = (F.col("lon") >= F.col("cw")) & (F.col("lon") <= F.col("ce"))
-    dl = F.when(inside_lon, F.lit(0.0)).otherwise(
-        F.least(_wrapdeg(F.col("lon"), F.col("cw")), _wrapdeg(F.col("lon"), F.col("ce")))
-    )
-    DL = F.radians(dl)
-    p1 = F.radians(F.col("lat"))
-    s_r, n_r = F.radians(F.col("cs")), F.radians(F.col("cn"))
-    # stationary latitude of the point-to-meridian distance (NaN/Inf at
-    # cos(Δλ)=0 is harmless: Spark's least() sorts NaN last, and the two
-    # edge-latitude candidates are always evaluated)
-    phi_star = F.atan(F.tan(p1) / F.cos(DL))
-    phi_c = F.greatest(F.least(phi_star, n_r), s_r)
-    mind_raw = F.least(
-        _hav_m(p1, phi_c, DL), _hav_m(p1, s_r, DL), _hav_m(p1, n_r, DL)
-    )
-    diam = EARTH_R_M * (n_r - s_r + F.radians(F.col("ce") - F.col("cw")))
-    pairs = pairs.withColumn(
-        "mind", mind_raw * (1.0 - 1e-9) - 1e-3
-    ).withColumn("maxd", mind_raw * (1.0 + 1e-9) + diam + 1e-3)
+    def _with_bounds(pairs: DataFrame) -> DataFrame:
+        """Attach (mind, maxd) to a probes × cell-rect pair table with
+        (lon, lat, cw, cs, ce, cn) columns."""
+        inside_lon = (F.col("lon") >= F.col("cw")) & (
+            F.col("lon") <= F.col("ce")
+        )
+        dl = F.when(inside_lon, F.lit(0.0)).otherwise(
+            F.least(
+                _wrapdeg(F.col("lon"), F.col("cw")),
+                _wrapdeg(F.col("lon"), F.col("ce")),
+            )
+        )
+        DL = F.radians(dl)
+        p1 = F.radians(F.col("lat"))
+        s_r, n_r = F.radians(F.col("cs")), F.radians(F.col("cn"))
+        # stationary latitude of the point-to-meridian distance (NaN/Inf
+        # at cos(Δλ)=0 is harmless: Spark's least() sorts NaN last, and
+        # the two edge-latitude candidates are always evaluated)
+        phi_star = F.atan(F.tan(p1) / F.cos(DL))
+        phi_c = F.greatest(F.least(phi_star, n_r), s_r)
+        mind_raw = F.least(
+            _hav_m(p1, phi_c, DL), _hav_m(p1, s_r, DL), _hav_m(p1, n_r, DL)
+        )
+        diam = EARTH_R_M * (
+            n_r - s_r + F.radians(F.col("ce") - F.col("cw"))
+        )
+        return pairs.withColumn(
+            "mind", mind_raw * (1.0 - 1e-9) - 1e-3
+        ).withColumn("maxd", mind_raw * (1.0 + 1e-9) + diam + 1e-3)
 
-    # ---- per-probe pruning radius R* (two windows over one partition —
-    # no rejoin, the whole operator stays a single linear DAG) ----
-    wcum = (
-        Window.partitionBy("query_id")
-        .orderBy("maxd", "cell")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    wall = Window.partitionBy("query_id").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = pairs.withColumn("cum", F.sum("n_in_cell").over(wcum))
-    rstar_col = F.min(
-        F.when(F.col("cum") >= F.col("k_req"), F.col("maxd"))
-    ).over(wall)
-    # corpus smaller than k → R* null → keep every cell (coalesce inf)
-    cand = (
-        cum.withColumn("rstar", rstar_col)
-        .filter(F.col("mind") <= F.coalesce(F.col("rstar"), F.lit(float("inf"))))
-        .select("query_id", "lon", "lat", "k_req", "cell")
+    def _rstar_filter(pairs: DataFrame, key: str, keep: list[str]) -> DataFrame:
+        """Per-probe pruning radius R* (two windows over one partition —
+        no rejoin): keep cells whose lower bound can still hold a top-k
+        scene. Corpus smaller than k → R* null → keep every cell."""
+        wcum = (
+            Window.partitionBy("query_id")
+            .orderBy("maxd", key)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wall = Window.partitionBy("query_id").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        cum = pairs.withColumn("cum", F.sum("n_in_cell").over(wcum))
+        rstar_col = F.min(
+            F.when(F.col("cum") >= F.col("k_req"), F.col("maxd"))
+        ).over(wall)
+        return (
+            cum.withColumn("rstar", rstar_col)
+            .filter(
+                F.col("mind")
+                <= F.coalesce(F.col("rstar"), F.lit(float("inf")))
+            )
+            .select(*keep)
+        )
+
+    # ---- optional coarse prefilter: at fine levels the |probes| ×
+    # |cells| pair table is the scaling knob, so run the SAME pruning
+    # over 4-level-coarser parent regions first (exact: parent rects
+    # contain their children, counts aggregate, so the coarse R* keeps
+    # every region that could hold a top-k scene) ----
+    COARSE_DROP = 4
+    if level >= 7:
+        zc = level - COARSE_DROP
+        z2c = float(1 << zc)
+        nmaxc = (1 << zc) - 1
+        pcx = F.shiftright(F.col("pcell"), 30)
+        pcy = F.col("pcell") - F.shiftleft(pcx, 30)
+        merc_c = lambda yy: F.degrees(  # noqa: E731
+            F.atan(F.sinh(math.pi * (1.0 - 2.0 * yy / z2c)))
+        )
+        parent = F.shiftleft(F.shiftright(cx, COARSE_DROP), 30) + F.shiftright(
+            cy, COARSE_DROP
+        )
+        stats_p = stats.withColumn("pcell", parent)
+        coarse = (
+            stats_p.groupBy("pcell")
+            .agg(F.sum("n_in_cell").alias("n_in_cell"))
+            .select(
+                "pcell",
+                "n_in_cell",
+                (pcx / z2c * 360.0 - 180.0).alias("cw"),
+                F.when(pcy == nmaxc, F.lit(-90.0))
+                .otherwise(merc_c(pcy + 1))
+                .alias("cs"),
+                ((pcx + 1) / z2c * 360.0 - 180.0).alias("ce"),
+                F.when(pcy == 0, F.lit(90.0)).otherwise(merc_c(pcy)).alias("cn"),
+            )
+        )
+        pairs_c = _with_bounds(q.join(F.broadcast(coarse)))
+        selc = _rstar_filter(
+            pairs_c, "pcell", ["query_id", "lon", "lat", "k_req", "pcell"]
+        )
+        pairs = _with_bounds(selc.join(F.broadcast(stats_p), "pcell"))
+    else:
+        pairs = _with_bounds(q.join(F.broadcast(stats)))
+    cand = _rstar_filter(
+        pairs, "cell", ["query_id", "lon", "lat", "k_req", "cell"]
     )
 
     # ---- exact scoring over the pruned candidate cells ----
