@@ -461,7 +461,13 @@ def knn_join(
     scored = joined.withColumn(
         "dist_m", u["haversine_m"]("lon", "lat", "slon", "slat")
     )
-    part = scored.groupBy("query_id", "cell").agg(
+    # salt the partial top-k: a hotspot cell holding a large corpus
+    # share would otherwise funnel ALL its structs through a single
+    # (query, cell) aggregation key (partial collect_list still carries
+    # every row) — the same two-phase pattern as the mosaic selection
+    part = scored.withColumn(
+        "salt", F.pmod(F.xxhash64("image_id"), F.lit(DEFAULT_SALT_BUCKETS))
+    ).groupBy("query_id", "cell", "salt").agg(
         F.slice(
             F.sort_array(
                 F.collect_list(F.struct(F.col("dist_m"), F.col("image_id")))

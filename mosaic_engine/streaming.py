@@ -89,6 +89,44 @@ def run_incremental(
     return n_batches["n"]
 
 
+def compact_tiles_log(
+    spark: SparkSession, work_dir: str, target_partitions: int = 32
+) -> int:
+    """Compact the per-batch tiles log (long-running incremental builds
+    accumulate one small partition dir per micro-batch — the classic
+    streaming small-files problem). Rewrites the log into
+    `target_partitions` files under a single batch_id=-1 partition and
+    atomically swaps directories, so a redelivered old batch_id can
+    still overwrite only ITS OWN (now absent) partition without
+    touching compacted history.
+
+    Contract: run between run_incremental invocations, never while a
+    stream is writing. Returns the number of batch partitions folded.
+    """
+    import shutil
+
+    tiles_dir = os.path.join(work_dir, "tiles_log")
+    parts = [
+        d for d in os.listdir(tiles_dir) if d.startswith("batch_id=")
+    ]
+    if len(parts) <= 1:
+        return 0
+    df = spark.read.parquet(tiles_dir).drop("batch_id")
+    tmp = os.path.join(work_dir, "tiles_log_compacting")
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    df.repartition(target_partitions).write.parquet(
+        os.path.join(tmp, "batch_id=-1")
+    )
+    old = os.path.join(work_dir, "tiles_log_old")
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(tiles_dir, old)
+    os.rename(tmp, tiles_dir)
+    shutil.rmtree(old)
+    return len(parts)
+
+
 def windowed_event_counts(
     spark: SparkSession,
     events_dir: str,

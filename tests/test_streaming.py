@@ -231,3 +231,30 @@ def test_streaming_sessions_out_of_order_within_watermark(spark, tmp_path):
         (1, ep0): (2, 3.0),          # late event merged into session A
         (1, ep0 + 6000): (1, 4.0),   # session B NOT contaminated
     }
+
+
+def test_compact_tiles_log_preserves_mosaic(spark, tmp_path):
+    """Compacting the per-batch tiles log folds N batch partitions into
+    one and leaves the finalized mosaic byte-identical."""
+    full = datagen.gen_scenes(n_scenes=60, paths=3, rows=3, seed=7)
+    scenes_dir = str(tmp_path / "scenes")
+    work = str(tmp_path / "work")
+    os.makedirs(scenes_dir)
+    cfg = MosaicConfig(quadkey_zoom=7)
+    # three files → three incremental invocations → three batch dirs
+    for i, sl in enumerate((full.slice(0, 20), full.slice(20, 20), full.slice(40))):
+        datagen.write_parquet(sl, os.path.join(scenes_dir, f"p{i}.parquet"))
+        streaming.run_incremental(spark, scenes_dir, cfg, work)
+    before = streaming.finalize(spark, scenes_dir, cfg, work)
+    tiles_dir = os.path.join(work, "tiles_log")
+    n_parts_before = len(
+        [d for d in os.listdir(tiles_dir) if d.startswith("batch_id=")])
+    assert n_parts_before == 3
+    folded = streaming.compact_tiles_log(spark, work, target_partitions=2)
+    assert folded == 3
+    assert [d for d in os.listdir(tiles_dir) if d.startswith("batch_id=")] == [
+        "batch_id=-1"]
+    after = streaming.finalize(spark, scenes_dir, cfg, work)
+    assert mz.canonical_json(after) == mz.canonical_json(before)
+    # incremental processing continues cleanly after compaction
+    assert streaming.run_incremental(spark, scenes_dir, cfg, work) == 0
