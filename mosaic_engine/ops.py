@@ -312,29 +312,32 @@ def knn_join(
 
     sx, sy = _tile_xy(F.col("slon"), F.col("slat"))
     sc = cent.withColumn("cell", F.shiftleft(sx, 30) + sy)
-    # native inverse: cell → tile bounds (mercator gudermannian)
-    cx = F.shiftright(F.col("cell"), 30)
-    cy = F.col("cell") - F.shiftleft(cx, 30)
-    merc_lat = lambda yy: F.degrees(  # noqa: E731
-        F.atan(F.sinh(math.pi * (1.0 - 2.0 * yy / z2)))
-    )
-    # the top/bottom tile rows also receive scenes whose centroid lat
-    # exceeds the mercator clamp (±85.05..): stretch those rects to the
-    # poles so every scene mapped into a cell lies INSIDE its rect —
-    # otherwise maxd is not a valid upper bound and pruning goes wrong
-    cn_edge = F.when(cy == 0, F.lit(90.0)).otherwise(merc_lat(cy))
-    cs_edge = F.when(cy == nmax, F.lit(-90.0)).otherwise(merc_lat(cy + 1))
+
+    def _cell_rect(key: str, zoom: int) -> list[Column]:
+        """Native inverse: (x<<30)|y key at `zoom` → rect columns
+        (cw, cs, ce, cn) via the mercator gudermannian. The top/bottom
+        tile rows also receive points whose centroid lat exceeds the
+        mercator clamp (±85.05..), so those rects stretch to the poles
+        — every point mapped into a cell must lie INSIDE its rect or
+        maxd is not a valid upper bound and pruning goes wrong."""
+        zz = float(1 << zoom)
+        nm = (1 << zoom) - 1
+        x = F.shiftright(F.col(key), 30)
+        y = F.col(key) - F.shiftleft(x, 30)
+        merc = lambda yy: F.degrees(  # noqa: E731
+            F.atan(F.sinh(math.pi * (1.0 - 2.0 * yy / zz)))
+        )
+        return [
+            (x / zz * 360.0 - 180.0).alias("cw"),
+            F.when(y == nm, F.lit(-90.0)).otherwise(merc(y + 1)).alias("cs"),
+            ((x + 1) / zz * 360.0 - 180.0).alias("ce"),
+            F.when(y == 0, F.lit(90.0)).otherwise(merc(y)).alias("cn"),
+        ]
+
     stats = (
         sc.groupBy("cell")
         .agg(F.count("*").alias("n_in_cell"))
-        .select(
-            "cell",
-            "n_in_cell",
-            (cx / z2 * 360.0 - 180.0).alias("cw"),
-            cs_edge.alias("cs"),
-            ((cx + 1) / z2 * 360.0 - 180.0).alias("ce"),
-            cn_edge.alias("cn"),
-        )
+        .select("cell", "n_in_cell", *_cell_rect("cell", level))
     )
     # stats is bounded (≤ 4^level rows) but its lineage scans the whole
     # corpus; several downstream branches reference it, so materialize
@@ -420,13 +423,8 @@ def knn_join(
     COARSE_DROP = 4
     if level >= 7:
         zc = level - COARSE_DROP
-        z2c = float(1 << zc)
-        nmaxc = (1 << zc) - 1
-        pcx = F.shiftright(F.col("pcell"), 30)
-        pcy = F.col("pcell") - F.shiftleft(pcx, 30)
-        merc_c = lambda yy: F.degrees(  # noqa: E731
-            F.atan(F.sinh(math.pi * (1.0 - 2.0 * yy / z2c)))
-        )
+        cx = F.shiftright(F.col("cell"), 30)
+        cy = F.col("cell") - F.shiftleft(cx, 30)
         parent = F.shiftleft(F.shiftright(cx, COARSE_DROP), 30) + F.shiftright(
             cy, COARSE_DROP
         )
@@ -434,16 +432,7 @@ def knn_join(
         coarse = (
             stats_p.groupBy("pcell")
             .agg(F.sum("n_in_cell").alias("n_in_cell"))
-            .select(
-                "pcell",
-                "n_in_cell",
-                (pcx / z2c * 360.0 - 180.0).alias("cw"),
-                F.when(pcy == nmaxc, F.lit(-90.0))
-                .otherwise(merc_c(pcy + 1))
-                .alias("cs"),
-                ((pcx + 1) / z2c * 360.0 - 180.0).alias("ce"),
-                F.when(pcy == 0, F.lit(90.0)).otherwise(merc_c(pcy)).alias("cn"),
-            )
+            .select("pcell", "n_in_cell", *_cell_rect("pcell", zc))
         )
         pairs_c = _with_bounds(q.join(F.broadcast(coarse)))
         selc = _rstar_filter(

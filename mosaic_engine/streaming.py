@@ -57,6 +57,7 @@ def run_incremental(
     else:
         with open(cfg_file, "w") as f:
             f.write(h)
+    _recover_tiles_log(work_dir)
     schema = spark.read.parquet(scenes_dir).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
@@ -67,6 +68,12 @@ def run_incremental(
     n_batches = {"n": 0}
 
     def handle(batch_df, batch_id):
+        # a batch folded into the compacted partition by
+        # compact_tiles_log must NOT be rewritten on redelivery — its
+        # rows already live under batch_id=-1
+        if int(batch_id) in _folded_batches(work_dir):
+            n_batches["n"] += 1
+            return
         filtered = ops.filter_scenes(batch_df, cfg)
         tiles = udfs.explode_to_quadkeys(
             filtered, cfg.quadkey_zoom, passthrough=EXPLODE_PASSTHROUGH
@@ -89,28 +96,61 @@ def run_incremental(
     return n_batches["n"]
 
 
+def _folded_path(work_dir: str) -> str:
+    return os.path.join(work_dir, "compacted_batches.json")
+
+
+def _folded_batches(work_dir: str) -> set[int]:
+    p = _folded_path(work_dir)
+    if os.path.exists(p):
+        import json as _json
+
+        with open(p) as f:
+            return set(_json.load(f))
+    return set()
+
+
+def _recover_tiles_log(work_dir: str) -> None:
+    """Crash recovery for compact_tiles_log's two-rename swap: if the
+    process died between renames, tiles_log is missing while _old still
+    holds the data — restore it before anything reads or writes."""
+    tiles_dir = os.path.join(work_dir, "tiles_log")
+    old = os.path.join(work_dir, "tiles_log_old")
+    if not os.path.exists(tiles_dir) and os.path.exists(old):
+        os.rename(old, tiles_dir)
+
+
 def compact_tiles_log(
     spark: SparkSession, work_dir: str, target_partitions: int = 32
 ) -> int:
     """Compact the per-batch tiles log (long-running incremental builds
     accumulate one small partition dir per micro-batch — the classic
     streaming small-files problem). Rewrites the log into
-    `target_partitions` files under a single batch_id=-1 partition and
-    atomically swaps directories, so a redelivered old batch_id can
-    still overwrite only ITS OWN (now absent) partition without
-    touching compacted history.
+    `target_partitions` files under a single batch_id=-1 partition.
+
+    Exactly-once is preserved against foreachBatch REDELIVERY of a
+    folded batch: the folded batch_ids are recorded in
+    compacted_batches.json and the sink skips them (their rows already
+    live in the compacted partition). The two-rename swap is guarded by
+    _recover_tiles_log (called by every reader/writer here), so a crash
+    between renames self-heals on the next invocation.
 
     Contract: run between run_incremental invocations, never while a
     stream is writing. Returns the number of batch partitions folded.
     """
+    import json as _json
     import shutil
 
+    _recover_tiles_log(work_dir)
     tiles_dir = os.path.join(work_dir, "tiles_log")
     parts = [
         d for d in os.listdir(tiles_dir) if d.startswith("batch_id=")
     ]
     if len(parts) <= 1:
         return 0
+    folded = _folded_batches(work_dir) | {
+        int(d.split("=", 1)[1]) for d in parts if d != "batch_id=-1"
+    }
     df = spark.read.parquet(tiles_dir).drop("batch_id")
     tmp = os.path.join(work_dir, "tiles_log_compacting")
     if os.path.exists(tmp):
@@ -118,6 +158,11 @@ def compact_tiles_log(
     df.repartition(target_partitions).write.parquet(
         os.path.join(tmp, "batch_id=-1")
     )
+    # record folded ids BEFORE the swap: worst case (crash after this
+    # write, before the swap) a redelivered folded batch is skipped
+    # while its partition still exists — overwrite-idempotent either way
+    with open(_folded_path(work_dir), "w") as f:
+        _json.dump(sorted(folded), f)
     old = os.path.join(work_dir, "tiles_log_old")
     if os.path.exists(old):
         shutil.rmtree(old)
@@ -290,6 +335,7 @@ def finalize(
     spark: SparkSession, scenes_dir: str, cfg: MosaicConfig, work_dir: str
 ) -> dict:
     """Aggregate the accumulated tiles log into the current mosaicJSON."""
+    _recover_tiles_log(work_dir)
     tiles = spark.read.parquet(os.path.join(work_dir, "tiles_log"))
     assign = ops.assignments(tiles, cfg)
     scenes = ops.filter_scenes(spark.read.parquet(scenes_dir), cfg)

@@ -161,7 +161,8 @@ def test_partition_pruning_reaches_scan(spark, scenes_df, tmp_path):
     plan = _plan(df)
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters")[1][:120]
-    assert "path" in seg and "2" in seg, seg
+    # pin the pushed LITERAL (a bare "2" would match expression ids)
+    assert "path" in seg and "= 2" in seg, seg
     # and the result is exactly the matching partition's rows
     # (inputFiles() lists pre-pruning, so assert at the data level)
     n_expected = scenes_df.filter(F.col("path") == 2).count()

@@ -258,3 +258,40 @@ def test_compact_tiles_log_preserves_mosaic(spark, tmp_path):
     assert mz.canonical_json(after) == mz.canonical_json(before)
     # incremental processing continues cleanly after compaction
     assert streaming.run_incremental(spark, scenes_dir, cfg, work) == 0
+
+
+def test_compaction_survives_redelivery_and_crash(spark, tmp_path):
+    """(code-review r2c) A batch folded by compaction must NOT be
+    rewritten when foreachBatch redelivers it; a crash between the two
+    swap renames self-heals on the next invocation."""
+    full = datagen.gen_scenes(n_scenes=40, paths=3, rows=3, seed=11)
+    scenes_dir = str(tmp_path / "scenes")
+    work = str(tmp_path / "work")
+    os.makedirs(scenes_dir)
+    cfg = MosaicConfig(quadkey_zoom=7)
+    for i, sl in enumerate((full.slice(0, 20), full.slice(20))):
+        datagen.write_parquet(sl, os.path.join(scenes_dir, f"p{i}.parquet"))
+        streaming.run_incremental(spark, scenes_dir, cfg, work)
+    before = streaming.finalize(spark, scenes_dir, cfg, work)
+    assert streaming.compact_tiles_log(spark, work, target_partitions=2) == 2
+
+    # drive the sink's redelivery skip for real: wiping the stream
+    # checkpoint makes availableNow re-deliver everything as batch 0,
+    # which IS in the folded set → handle() must write nothing
+    import shutil
+
+    assert streaming._folded_batches(work) == {0, 1}
+    tiles_dir = os.path.join(work, "tiles_log")
+    shutil.rmtree(os.path.join(work, "_chk"))
+    streaming.run_incremental(spark, scenes_dir, cfg, work)
+    assert [d for d in os.listdir(tiles_dir) if d.startswith("batch_id=")] == [
+        "batch_id=-1"]  # no duplicate partition was written
+    after = streaming.finalize(spark, scenes_dir, cfg, work)
+    assert mz.canonical_json(after) == mz.canonical_json(before)
+    assert not mz.validate_mosaic(after)
+
+    # crash between the two renames: tiles_log missing, _old present
+    os.rename(tiles_dir, os.path.join(work, "tiles_log_old"))
+    healed = streaming.finalize(spark, scenes_dir, cfg, work)
+    assert mz.canonical_json(healed) == mz.canonical_json(before)
+    assert os.path.isdir(tiles_dir)
