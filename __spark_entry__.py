@@ -1036,6 +1036,29 @@ def sql_tpch_q5ish():
     )
 
 
+def q_events_rollup(spark, sf_dir):
+    """A8 rollup: (event_type, hour) metrics with subtotal and grand
+    total rows — the per-zoom-prefix reporting shape over events."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.rollup(
+        F.col("event_type"),
+        F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def sql_events_rollup():
+    return (
+        "WITH e AS (SELECT event_type, "
+        "epoch(date_trunc('hour', ts)) AS hour_epoch, value FROM events) "
+        "SELECT event_type, CAST(hour_epoch AS BIGINT) AS hour_epoch, "
+        "count(*) AS n_events, round(sum(value), 4) AS sum_value "
+        "FROM e GROUP BY ROLLUP(event_type, hour_epoch)"
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy(
@@ -1509,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5ish": q_tpch_q5ish,
         "tpch_q6": q_tpch_q6,
         "events_hourly": q_events_hourly,
+        "events_rollup": q_events_rollup,
         "events_sessions": q_events_sessions,
         "events_props": q_events_props,
         "window_topk_orders": q_window_topk_orders,
@@ -1554,6 +1578,7 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q5ish": sql_tpch_q5ish(),
         "tpch_q6": sql_tpch_q6(),
         "events_hourly": sql_events_hourly(),
+        "events_rollup": sql_events_rollup(),
         "events_sessions": sql_events_sessions(),
         "events_props": sql_events_props(),
         "window_topk_orders": sql_window_topk_orders(),
