@@ -21,6 +21,8 @@ import pandas as pd  # module-level: pandas_udf resolves the stringified
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .textops import LSH_MAX_BUCKET, banded_candidate_pairs
+
 QUANT = 1000.0
 N_PLANES = 8
 DIM = 64
@@ -378,7 +380,10 @@ def lsh_band_col(qcol, band: int, rows: int) -> Column:
 
 
 def neardup_pairs(
-    emb: DataFrame, min_score: float = 0.9, bands: int = 2
+    emb: DataFrame,
+    min_score: float = 0.9,
+    bands: int = 2,
+    max_bucket: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """Embedding near-duplicate pairs — LSH-banded candidate generation
     (a pair is a candidate iff it collides in at least one band's
@@ -389,8 +394,6 @@ def neardup_pairs(
     (the old same-label blocking was quadratic within a label). Banding
     over J/bands-bit buckets trades bucket size for recall exactly like
     minhash_lsh_pairs."""
-    from .textops import banded_candidate_pairs
-
     rows = N_PLANES // bands
     base = with_quantized(emb)
     parts = [
@@ -404,7 +407,9 @@ def neardup_pairs(
     banded = parts[0]
     for p in parts[1:]:
         banded = banded.unionByName(p)
-    cand = banded_candidate_pairs(banded, "vec_id", "vec_a", "vec_b")
+    cand = banded_candidate_pairs(
+        banded, "vec_id", "vec_a", "vec_b", max_bucket=max_bucket
+    )
     qa = base.select(
         F.col("vec_id").alias("vec_a"),
         F.col("q").alias("q_a"),

@@ -345,7 +345,15 @@ def knn_join(
     stats = stats.localCheckpoint(eager=True)
     # element_at/slice ordinals must be INT (queries may carry k as long)
     kcol = (F.lit(k) if k is not None else F.col("k")).cast("int")
-    q = queries.select("query_id", "lon", "lat", kcol.alias("k_req"))
+    # normalize probe lon into [-180, 180): haversine is 360-periodic
+    # (knn_bruteforce scores lon=190 correctly) but the rect lower bound
+    # below tests `cw <= lon <= ce` literally — an out-of-range probe
+    # could report a positive lower bound for the very cell it sits in
+    # and R* pruning would drop the true nearest cell.
+    lon_n = F.pmod(F.col("lon") + 180.0, F.lit(360.0)) - 180.0
+    q = queries.select(
+        "query_id", lon_n.alias("lon"), "lat", kcol.alias("k_req")
+    )
 
     # ---- distance bounds (all native trig → whole-stage codegen) ----
     def _wrapdeg(a: Column, b: Column) -> Column:

@@ -15,6 +15,24 @@ duplicates. The selection aggregation re-runs over the bounded tiles
 log at finalize time — the cheap, shuffle-light tail of the pipeline.
 No watermark/state store is needed because scene selection is a pure
 aggregation with a total-order key (late scenes simply merge in).
+
+Log layout (all state commits through ONE small manifest file, so the
+scheme works on object stores — no directory renames anywhere):
+
+  work_dir/tiles_log/batch_id=<id>/   per-batch append dirs (sink)
+  work_dir/tiles_compacted/gen=<k>/   compacted generations
+  work_dir/tiles_manifest.json        {"gen", "folded", "chk_id"}
+
+Readers resolve the live data set as [gen dir if any] + [batch dirs
+whose id is NOT in `folded`]. Compaction writes the next generation
+dir, then commits by replacing the manifest (tmp file + rename here —
+on HDFS/S3 this maps to a single atomic PUT/rename of one small
+object); stale dirs left by a crash on either side of the commit are
+invisible to readers and garbage-collected by the next compaction.
+`chk_id` records the streaming checkpoint's query id at compaction
+time: a work_dir whose _chk was deleted/reset while the manifest still
+holds folded batch ids would replay NEW input under recycled batch ids
+and silently skip it, so run_incremental refuses that state instead.
 """
 
 from __future__ import annotations
@@ -57,7 +75,17 @@ def run_incremental(
     else:
         with open(cfg_file, "w") as f:
             f.write(h)
-    _recover_tiles_log(work_dir)
+    man = _read_manifest(work_dir)
+    if man["folded"]:
+        qid = _chk_query_id(work_dir)
+        if qid is None or (man["chk_id"] is not None and qid != man["chk_id"]):
+            raise ValueError(
+                f"work_dir {work_dir} has compacted (folded) batches but its "
+                "streaming checkpoint (_chk) is missing or belongs to a "
+                "different query — replayed input would reuse folded batch "
+                "ids and be silently dropped. Restore the original _chk or "
+                "start a fresh work_dir."
+            )
     schema = spark.read.parquet(scenes_dir).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
@@ -96,28 +124,78 @@ def run_incremental(
     return n_batches["n"]
 
 
-def _folded_path(work_dir: str) -> str:
-    return os.path.join(work_dir, "compacted_batches.json")
+def _manifest_path(work_dir: str) -> str:
+    return os.path.join(work_dir, "tiles_manifest.json")
 
 
-def _folded_batches(work_dir: str) -> set[int]:
-    p = _folded_path(work_dir)
+def _read_manifest(work_dir: str) -> dict:
+    p = _manifest_path(work_dir)
     if os.path.exists(p):
         import json as _json
 
         with open(p) as f:
-            return set(_json.load(f))
-    return set()
+            return _json.load(f)
+    return {"gen": None, "folded": [], "chk_id": None}
 
 
-def _recover_tiles_log(work_dir: str) -> None:
-    """Crash recovery for compact_tiles_log's two-rename swap: if the
-    process died between renames, tiles_log is missing while _old still
-    holds the data — restore it before anything reads or writes."""
+def _write_manifest(work_dir: str, man: dict) -> None:
+    """Single-file atomic commit: tmp + rename of ONE small file. On a
+    POSIX filesystem the rename is atomic; on an object store this maps
+    to one atomic PUT of the manifest object (no directory moves are
+    ever needed by this scheme)."""
+    import json as _json
+
+    p = _manifest_path(work_dir)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump(man, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, p)
+
+
+def _chk_query_id(work_dir: str) -> str | None:
+    """The streaming query id Spark records in _chk/metadata — the
+    durable identity of the offset log that assigned the batch ids."""
+    meta = os.path.join(work_dir, "_chk", "metadata")
+    if not os.path.exists(meta):
+        return None
+    import json as _json
+
+    with open(meta) as f:
+        return _json.load(f).get("id")
+
+
+def _folded_batches(work_dir: str) -> set[int]:
+    return set(_read_manifest(work_dir)["folded"])
+
+
+def _batch_dirs(work_dir: str) -> list[str]:
     tiles_dir = os.path.join(work_dir, "tiles_log")
-    old = os.path.join(work_dir, "tiles_log_old")
-    if not os.path.exists(tiles_dir) and os.path.exists(old):
-        os.rename(old, tiles_dir)
+    if not os.path.isdir(tiles_dir):
+        return []
+    return sorted(
+        d for d in os.listdir(tiles_dir) if d.startswith("batch_id=")
+    )
+
+
+def _tiles_paths(work_dir: str) -> list[str]:
+    """Live tiles-log data as resolved through the manifest: the
+    current compacted generation (if any) plus every batch partition
+    not folded into it. Stale dirs from crashed/committed compactions
+    are simply never listed here."""
+    man = _read_manifest(work_dir)
+    paths: list[str] = []
+    if man["gen"] is not None:
+        paths.append(
+            os.path.join(work_dir, "tiles_compacted", f"gen={man['gen']}")
+        )
+    folded = set(man["folded"])
+    tiles_dir = os.path.join(work_dir, "tiles_log")
+    for d in _batch_dirs(work_dir):
+        if int(d.split("=", 1)[1]) not in folded:
+            paths.append(os.path.join(tiles_dir, d))
+    return paths
 
 
 def compact_tiles_log(
@@ -125,51 +203,65 @@ def compact_tiles_log(
 ) -> int:
     """Compact the per-batch tiles log (long-running incremental builds
     accumulate one small partition dir per micro-batch — the classic
-    streaming small-files problem). Rewrites the log into
-    `target_partitions` files under a single batch_id=-1 partition.
+    streaming small-files problem) into the next tiles_compacted/gen=<k>
+    generation of `target_partitions` files, committing via the
+    manifest (see module docstring — object-store-safe, no dir moves).
 
     Exactly-once is preserved against foreachBatch REDELIVERY of a
-    folded batch: the folded batch_ids are recorded in
-    compacted_batches.json and the sink skips them (their rows already
-    live in the compacted partition). The two-rename swap is guarded by
-    _recover_tiles_log (called by every reader/writer here), so a crash
-    between renames self-heals on the next invocation.
+    folded batch: the folded batch_ids are recorded in the manifest and
+    the sink skips them (their rows already live in the compacted
+    generation). Crash on either side of the manifest commit leaves
+    only invisible garbage, GC'd on the next invocation.
 
     Contract: run between run_incremental invocations, never while a
-    stream is writing. Returns the number of batch partitions folded.
+    stream is writing. Returns the number of live partitions folded.
     """
-    import json as _json
     import shutil
 
-    _recover_tiles_log(work_dir)
+    man = _read_manifest(work_dir)
+    comp_root = os.path.join(work_dir, "tiles_compacted")
     tiles_dir = os.path.join(work_dir, "tiles_log")
-    parts = [
-        d for d in os.listdir(tiles_dir) if d.startswith("batch_id=")
-    ]
-    if len(parts) <= 1:
+    folded = set(man["folded"])
+    # GC garbage from earlier crashes: batch dirs already folded and
+    # generation dirs other than the committed one are dead to readers
+    for d in _batch_dirs(work_dir):
+        if int(d.split("=", 1)[1]) in folded:
+            shutil.rmtree(os.path.join(tiles_dir, d))
+    if os.path.isdir(comp_root):
+        for g in os.listdir(comp_root):
+            if g.startswith("gen=") and (
+                man["gen"] is None or g != f"gen={man['gen']}"
+            ):
+                shutil.rmtree(os.path.join(comp_root, g))
+    live = _tiles_paths(work_dir)
+    if len(live) <= 1:
         return 0
-    folded = _folded_batches(work_dir) | {
-        int(d.split("=", 1)[1]) for d in parts if d != "batch_id=-1"
-    }
-    df = spark.read.parquet(tiles_dir).drop("batch_id")
-    tmp = os.path.join(work_dir, "tiles_log_compacting")
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    df.repartition(target_partitions).write.parquet(
-        os.path.join(tmp, "batch_id=-1")
+    new_gen = 0 if man["gen"] is None else man["gen"] + 1
+    gen_dir = os.path.join(comp_root, f"gen={new_gen}")
+    spark.read.parquet(*live).repartition(target_partitions).write.parquet(
+        gen_dir
     )
-    # record folded ids BEFORE the swap: worst case (crash after this
-    # write, before the swap) a redelivered folded batch is skipped
-    # while its partition still exists — overwrite-idempotent either way
-    with open(_folded_path(work_dir), "w") as f:
-        _json.dump(sorted(folded), f)
-    old = os.path.join(work_dir, "tiles_log_old")
-    if os.path.exists(old):
-        shutil.rmtree(old)
-    os.rename(tiles_dir, old)
-    os.rename(tmp, tiles_dir)
-    shutil.rmtree(old)
-    return len(parts)
+    new_folded = folded | {
+        int(d.split("=", 1)[1]) for d in _batch_dirs(work_dir)
+    }
+    _write_manifest(
+        work_dir,
+        {
+            "gen": new_gen,
+            "folded": sorted(new_folded),
+            # bind the folded set to the offset log that named the ids
+            "chk_id": _chk_query_id(work_dir) or man["chk_id"],
+        },
+    )
+    # post-commit cleanup (best-effort: a crash here only leaves
+    # garbage that the manifest never references; next call GCs it)
+    for d in _batch_dirs(work_dir):
+        shutil.rmtree(os.path.join(tiles_dir, d))
+    if man["gen"] is not None:
+        shutil.rmtree(
+            os.path.join(comp_root, f"gen={man['gen']}"), ignore_errors=True
+        )
+    return len(live)
 
 
 def windowed_event_counts(
@@ -214,7 +306,10 @@ def windowed_event_counts(
         agg.writeStream.outputMode("append")
         .format("parquet")
         .option("path", os.path.join(out_dir, "counts"))
-        .option("checkpointLocation", os.path.join(out_dir, "_chk"))
+        # per-query checkpoint subdir: sharing one out_dir between
+        # windowed_event_counts and run_streaming_sessions must not
+        # share (and corrupt) a single streaming checkpoint
+        .option("checkpointLocation", os.path.join(out_dir, "_chk_counts"))
         .trigger(availableNow=True)
         .start()
     )
@@ -323,7 +418,8 @@ def run_streaming_sessions(
         sessions.writeStream.outputMode("append")
         .format("parquet")
         .option("path", os.path.join(out_dir, "sessions"))
-        .option("checkpointLocation", os.path.join(out_dir, "_chk"))
+        # per-query checkpoint subdir (see windowed_event_counts)
+        .option("checkpointLocation", os.path.join(out_dir, "_chk_sessions"))
         .trigger(availableNow=True)
         .start()
     )
@@ -335,8 +431,13 @@ def finalize(
     spark: SparkSession, scenes_dir: str, cfg: MosaicConfig, work_dir: str
 ) -> dict:
     """Aggregate the accumulated tiles log into the current mosaicJSON."""
-    _recover_tiles_log(work_dir)
-    tiles = spark.read.parquet(os.path.join(work_dir, "tiles_log"))
+    paths = _tiles_paths(work_dir)
+    if not paths:
+        raise ValueError(
+            f"work_dir {work_dir} holds no tiles-log data — run "
+            "run_incremental first"
+        )
+    tiles = spark.read.parquet(*paths)
     assign = ops.assignments(tiles, cfg)
     scenes = ops.filter_scenes(spark.read.parquet(scenes_dir), cfg)
     bounds = ops.mosaic_bounds(scenes, assign)

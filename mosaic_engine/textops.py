@@ -143,34 +143,100 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return t.groupBy("doc_id").agg(*aggs)
 
 
+LSH_MAX_BUCKET = 1000  # per-(band,key) cap before the star fallback
+
+
 def banded_candidate_pairs(
     banded: DataFrame,
     id_col: str = "doc_id",
     out_a: str = "doc_a",
     out_b: str = "doc_b",
+    max_bucket: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """The shared LSH-banding candidate generator: (id, band, key) rows
     → distinct id pairs colliding in at least one band. A hash
     equi-join on (band, key) — only colliding rows ever meet, the
-    bucketed-not-all-pairs shape every *_pairs op here builds on."""
-    l = banded.alias("l")
-    r = banded.alias("r")
-    return (
+    bucketed-not-all-pairs shape every *_pairs op here builds on.
+
+    Mega-bucket guard: a degenerate band key shared by a huge doc
+    population (empty docs, boilerplate license headers — a certainty
+    in any 100 TB corpus) would make the within-bucket self-join
+    quadratic. Buckets of ≤ `max_bucket` rows keep exact all-pairs
+    semantics; a larger bucket degrades to a STAR — every member paired
+    with the bucket's min id (n-1 pairs instead of ~n²/2). The star
+    preserves bucket connectivity exactly (downstream
+    connected-components clustering is unaffected) and every emitted
+    pair still flows through the caller's exact verification; what is
+    traded away is the exhaustive within-mega-bucket pair LIST. Count
+    affected buckets with `lsh_bucket_stats` (same inputs). Pass
+    max_bucket=None for unguarded exact semantics.
+    """
+    if max_bucket is None:
+        l = banded.alias("l")
+        r = banded.alias("r")
+        return (
+            l.join(r, ["band", "key"])
+            .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .select(
+                F.col(f"l.{id_col}").alias(out_a),
+                F.col(f"r.{id_col}").alias(out_b),
+            )
+            .distinct()
+        )
+    if max_bucket < 1:
+        raise ValueError(f"max_bucket must be >= 1 (got {max_bucket})")
+    sizes = banded.groupBy("band", "key").agg(
+        F.count("*").alias("_n"), F.min(id_col).alias("_root")
+    )
+    # sizes shuffles on the SAME (band, key) the self-join hashes on,
+    # so the extra aggregation is co-partitioned with the join
+    tagged = banded.join(sizes, ["band", "key"])
+    small = tagged.filter(F.col("_n") <= max_bucket).select(
+        "band", "key", id_col
+    )
+    l = small.alias("l")
+    r = small.alias("r")
+    pairs_small = (
         l.join(r, ["band", "key"])
         .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         .select(
             F.col(f"l.{id_col}").alias(out_a),
             F.col(f"r.{id_col}").alias(out_b),
         )
-        .distinct()
+    )
+    pairs_star = tagged.filter(
+        (F.col("_n") > max_bucket) & (F.col(id_col) != F.col("_root"))
+    ).select(F.col("_root").alias(out_a), F.col(id_col).alias(out_b))
+    return pairs_small.unionByName(pairs_star).distinct()
+
+
+def lsh_bucket_stats(
+    banded: DataFrame, max_bucket: int = LSH_MAX_BUCKET
+) -> DataFrame:
+    """Observability companion to banded_candidate_pairs: per-band
+    bucket-population stats and how much of the corpus fell into
+    star-degraded mega-buckets — the number a pipeline operator alerts
+    on. Returns one row per band: (band, n_buckets, max_bucket_rows,
+    n_overflow_buckets, n_overflow_rows)."""
+    sizes = banded.groupBy("band", "key").agg(F.count("*").alias("n"))
+    over = F.col("n") > max_bucket
+    return sizes.groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.max("n").alias("max_bucket_rows"),
+        F.sum(over.cast("long")).alias("n_overflow_buckets"),
+        F.sum(F.when(over, F.col("n")).otherwise(0)).alias("n_overflow_rows"),
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame, max_bucket: int | None = LSH_MAX_BUCKET
+) -> DataFrame:
     """Candidate near-dup pairs: equal minhash band (LSH banding).
 
     Scale path: the band self-join is a hash equi-join on
-    (band_id, band_signature) — only colliding docs shuffle together.
+    (band_id, band_signature) — only colliding docs shuffle together;
+    degenerate mega-buckets degrade to stars (see
+    banded_candidate_pairs).
     """
     sig = minhash_signatures(docs)
     rows_per_band = ROWS_PER_BAND
@@ -187,7 +253,7 @@ def minhash_lsh_pairs(docs: DataFrame) -> DataFrame:
     banded = bands[0]
     for b in bands[1:]:
         banded = banded.unionByName(b)
-    return banded_candidate_pairs(banded)
+    return banded_candidate_pairs(banded, max_bucket=max_bucket)
 
 
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
@@ -279,15 +345,18 @@ def simhash_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
     bands: int = SIMHASH_BANDS,
+    max_bucket: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """SimHash near-dup pairs: banded candidate generation over the
     64-bit signature + exact hamming verification (bit_count of xor).
 
     Pigeonhole completeness: a pair with hamming ≤ bands-1 must agree
-    exactly on at least one of the `bands` 16-bit chunks, so the band
-    equi-join candidates are a SUPERSET of every qualifying pair — the
-    same bucketed-not-all-pairs scale shape as minhash_lsh_pairs, with
-    2^16 buckets per band keeping collision groups small."""
+    exactly on at least one of the `bands` (SIM64_BITS//bands)-bit
+    chunks (15-bit at the defaults), so the band equi-join candidates
+    are a SUPERSET of every qualifying pair — the same
+    bucketed-not-all-pairs scale shape as minhash_lsh_pairs, with
+    2^(SIM64_BITS//bands) buckets per band (2^15 = 32768 at the
+    defaults) keeping collision groups small."""
     if max_hamming >= bands:
         raise ValueError(
             f"banded candidates are only complete for max_hamming < bands "
@@ -310,7 +379,7 @@ def simhash_pairs(
     banded = parts[0]
     for p in parts[1:]:
         banded = banded.unionByName(p)
-    cand = banded_candidate_pairs(banded)
+    cand = banded_candidate_pairs(banded, max_bucket=max_bucket)
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
     return (

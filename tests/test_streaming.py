@@ -235,7 +235,8 @@ def test_streaming_sessions_out_of_order_within_watermark(spark, tmp_path):
 
 def test_compact_tiles_log_preserves_mosaic(spark, tmp_path):
     """Compacting the per-batch tiles log folds N batch partitions into
-    one and leaves the finalized mosaic byte-identical."""
+    a compacted generation and leaves the finalized mosaic
+    byte-identical."""
     full = datagen.gen_scenes(n_scenes=60, paths=3, rows=3, seed=7)
     scenes_dir = str(tmp_path / "scenes")
     work = str(tmp_path / "work")
@@ -252,18 +253,28 @@ def test_compact_tiles_log_preserves_mosaic(spark, tmp_path):
     assert n_parts_before == 3
     folded = streaming.compact_tiles_log(spark, work, target_partitions=2)
     assert folded == 3
-    assert [d for d in os.listdir(tiles_dir) if d.startswith("batch_id=")] == [
-        "batch_id=-1"]
+    # batch dirs are gone; the live data is one compacted generation
+    assert streaming._batch_dirs(work) == []
+    assert streaming._tiles_paths(work) == [
+        os.path.join(work, "tiles_compacted", "gen=0")]
     after = streaming.finalize(spark, scenes_dir, cfg, work)
     assert mz.canonical_json(after) == mz.canonical_json(before)
     # incremental processing continues cleanly after compaction
     assert streaming.run_incremental(spark, scenes_dir, cfg, work) == 0
+    # a second compaction with nothing new to fold is a no-op
+    assert streaming.compact_tiles_log(spark, work) == 0
 
 
 def test_compaction_survives_redelivery_and_crash(spark, tmp_path):
-    """(code-review r2c) A batch folded by compaction must NOT be
-    rewritten when foreachBatch redelivers it; a crash between the two
-    swap renames self-heals on the next invocation."""
+    """(code-review r2c / ADVICE r2) A batch folded by compaction must
+    NOT be rewritten when foreachBatch redelivers it; crashes on either
+    side of the manifest commit leave readers consistent; a lost
+    checkpoint alongside a non-empty folded set is REFUSED rather than
+    silently dropping replayed input."""
+    import shutil
+
+    import pytest
+
     full = datagen.gen_scenes(n_scenes=40, paths=3, rows=3, seed=11)
     scenes_dir = str(tmp_path / "scenes")
     work = str(tmp_path / "work")
@@ -274,24 +285,48 @@ def test_compaction_survives_redelivery_and_crash(spark, tmp_path):
         streaming.run_incremental(spark, scenes_dir, cfg, work)
     before = streaming.finalize(spark, scenes_dir, cfg, work)
     assert streaming.compact_tiles_log(spark, work, target_partitions=2) == 2
-
-    # drive the sink's redelivery skip for real: wiping the stream
-    # checkpoint makes availableNow re-deliver everything as batch 0,
-    # which IS in the folded set → handle() must write nothing
-    import shutil
-
     assert streaming._folded_batches(work) == {0, 1}
-    tiles_dir = os.path.join(work, "tiles_log")
-    shutil.rmtree(os.path.join(work, "_chk"))
+
+    # drive the sink's redelivery skip for REAL: removing the commit
+    # marker of batch 1 (but not its offsets) reproduces foreachBatch's
+    # at-least-once retry — the restarted stream re-delivers batch 1,
+    # which IS folded → handle() must write nothing
+    os.remove(os.path.join(work, "_chk", "commits", "1"))
+    crc = os.path.join(work, "_chk", "commits", ".1.crc")
+    if os.path.exists(crc):  # local-fs checksum shadow of the marker
+        os.remove(crc)
     streaming.run_incremental(spark, scenes_dir, cfg, work)
-    assert [d for d in os.listdir(tiles_dir) if d.startswith("batch_id=")] == [
-        "batch_id=-1"]  # no duplicate partition was written
+    assert streaming._batch_dirs(work) == []  # no duplicate partition
     after = streaming.finalize(spark, scenes_dir, cfg, work)
     assert mz.canonical_json(after) == mz.canonical_json(before)
     assert not mz.validate_mosaic(after)
 
-    # crash between the two renames: tiles_log missing, _old present
-    os.rename(tiles_dir, os.path.join(work, "tiles_log_old"))
+    # crash DURING compaction (next gen dir written, manifest not yet
+    # committed): the stray generation is invisible and GC'd
+    stray = os.path.join(work, "tiles_compacted", "gen=1")
+    os.makedirs(stray)
+    with open(os.path.join(stray, "garbage"), "w") as f:
+        f.write("partial write")
+    assert streaming._tiles_paths(work) == [
+        os.path.join(work, "tiles_compacted", "gen=0")]
     healed = streaming.finalize(spark, scenes_dir, cfg, work)
     assert mz.canonical_json(healed) == mz.canonical_json(before)
-    assert os.path.isdir(tiles_dir)
+
+    # a new file lands → new batch → compacting folds gen=0 + batch 2
+    # into gen=1, clobbering the stray partial dir first
+    datagen.write_parquet(
+        full.slice(0, 10), os.path.join(scenes_dir, "p2.parquet"))
+    streaming.run_incremental(spark, scenes_dir, cfg, work)
+    before2 = streaming.finalize(spark, scenes_dir, cfg, work)
+    assert streaming.compact_tiles_log(spark, work, target_partitions=2) == 2
+    assert streaming._tiles_paths(work) == [
+        os.path.join(work, "tiles_compacted", "gen=1")]
+    assert mz.canonical_json(
+        streaming.finalize(spark, scenes_dir, cfg, work)
+    ) == mz.canonical_json(before2)
+
+    # lost checkpoint + non-empty folded set: batch ids would be
+    # recycled for NEW input and silently skipped — must refuse
+    shutil.rmtree(os.path.join(work, "_chk"))
+    with pytest.raises(ValueError, match="folded"):
+        streaming.run_incremental(spark, scenes_dir, cfg, work)

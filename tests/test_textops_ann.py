@@ -323,3 +323,64 @@ def test_winnow_fingerprints_match_scalar_oracle(spark):
     assert got == {d: s for d, s in exp.items() if s}
     # near-dup docs share the 'quick brown fox' fingerprints
     assert got[1] & got[2]
+
+
+def test_lsh_mega_bucket_guard_star_policy(spark):
+    """(VERDICT r2 #1) A degenerate corpus — thousands of identical
+    boilerplate docs sharing one band signature — must NOT trigger the
+    quadratic within-bucket self-join. Buckets over max_bucket degrade
+    to a star on the bucket-min id: O(n) pairs, connectivity (and thus
+    clustering) preserved, overflow observable via lsh_bucket_stats."""
+    from pyspark.sql import functions as F
+
+    n = 10_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate license header text").alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("a").alias("source"),
+        F.lit(41).alias("n_chars"),
+    )
+    pairs = textops.minhash_lsh_pairs(docs).localCheckpoint(eager=True)
+    rows = pairs.collect()  # O(bucket · 1) star pairs, never ~n²/2
+    assert len(rows) == n - 1
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == {
+        (0, i) for i in range(1, n)
+    }
+    # connectivity preserved: one cluster rooted at the min doc_id
+    got = (
+        textops.dedup_clusters(docs, pairs=pairs)
+        .groupBy("cluster_id")
+        .count()
+        .collect()
+    )
+    assert {(r["cluster_id"], r["count"]) for r in got} == {(0, n)}
+    # the observability companion flags every band's bucket
+    sig = textops.minhash_signatures(docs)
+    banded = None
+    for b in range(textops.LSH_BANDS):
+        cols = [
+            f"mh{b * textops.ROWS_PER_BAND + r}"
+            for r in range(textops.ROWS_PER_BAND)
+        ]
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat_ws("_", *cols).alias("key"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    stats = {
+        r["band"]: (r["n_overflow_buckets"], r["n_overflow_rows"])
+        for r in textops.lsh_bucket_stats(banded).collect()
+    }
+    assert stats == {b: (1, n) for b in range(textops.LSH_BANDS)}
+
+
+def test_lsh_guard_exact_below_cap_and_unguarded_identical(spark, docs):
+    """Small buckets keep exact all-pairs semantics: the guarded
+    default equals the unguarded (max_bucket=None) pair set."""
+    guarded = {(r["doc_a"], r["doc_b"])
+               for r in textops.minhash_lsh_pairs(docs).collect()}
+    exact = {(r["doc_a"], r["doc_b"])
+             for r in textops.minhash_lsh_pairs(docs, max_bucket=None).collect()}
+    assert guarded == exact and guarded
