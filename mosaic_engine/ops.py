@@ -237,13 +237,37 @@ def coverage_quadkeys(
 EARTH_R_M = 6371008.8
 
 
+KNN_MIN_LEVEL = 3
+KNN_MAX_LEVEL = 12
+
+
+def knn_pick_level(n_scenes: int, k: int) -> int:
+    """Banding-level heuristic: pick the web-mercator cell level whose
+    average occupancy is ~max(16, 4k) scenes per nonempty cell —
+    candidate work per probe stays ~k·C while the |probes| × |cells|
+    bound table stays small. Exactness does NOT depend on the choice
+    (the R* bound math is level-independent); this only positions the
+    cost knee. Clamped to [3, 12]: coarser than 3 prunes nothing,
+    finer than 12 makes the stats dim itself the bottleneck."""
+    import math
+
+    target = max(16.0, 4.0 * max(k, 1))
+    cells = max(float(n_scenes) / target, 1.0)
+    return min(KNN_MAX_LEVEL, max(KNN_MIN_LEVEL, round(math.log(cells, 4))))
+
+
 def knn_join(
     scenes: DataFrame,
     queries: DataFrame,
     k: int | None = None,
-    level: int = 5,
+    level: int | None = None,
 ) -> DataFrame:
     """J3: exact k nearest scenes (footprint-centroid haversine) per query.
+
+    ``level=None`` (default) auto-picks the banding level from the
+    corpus size via knn_pick_level — one count() over the scenes scan
+    (parquet metadata-cheap) plus, when per-query k is used, one
+    max(k) over the small probe table.
 
     One-pass cell-stats pruning — no iteration, no driver-side loop:
 
@@ -279,6 +303,14 @@ def knn_join(
     surviving regions instead of every nonempty cell.
     """
     import math
+
+    if level is None:
+        kv = (
+            k
+            if k is not None
+            else (queries.agg(F.max("k")).first()[0] or 1)
+        )
+        level = knn_pick_level(scenes.count(), int(kv))
 
     u = udfs.make_scalar_udfs()
     cent = scenes.select(
@@ -446,7 +478,14 @@ def knn_join(
         selc = _rstar_filter(
             pairs_c, "pcell", ["query_id", "lon", "lat", "k_req", "pcell"]
         )
-        pairs = _with_bounds(selc.join(F.broadcast(stats_p), "pcell"))
+        # broadcast the fine-level stats side only while its size is
+        # provably bounded (≤4^9 = 262k rows ≈ 10 MB): at a fine level
+        # over a dense global corpus (level 12 ⇒ up to 16M cells) a
+        # forced broadcast would OOM the driver, so there the hint is
+        # dropped — the R*-pruned candidate set is already small and
+        # AQE picks broadcast at runtime iff the stats actually fit.
+        stats_side = F.broadcast(stats_p) if level <= 9 else stats_p
+        pairs = _with_bounds(selc.join(stats_side, "pcell"))
     else:
         pairs = _with_bounds(q.join(F.broadcast(stats)))
     cand = _rstar_filter(

@@ -445,13 +445,27 @@ def ngram_jaccard_pairs(
 
     `candidates` defaults to minhash_lsh_pairs(docs) — the bucketed LSH
     candidate generator — so cost is |candidates| × avg-grams-per-doc,
-    never a quadratic block self-join. Intersection counting joins each
-    candidate pair's side-a grams to the gram table on (doc_b, gram): a
-    plain hash equi-join, partition-parallel at any corpus size. Pairs
-    with an empty gram intersection drop out (their jaccard is 0)."""
+    never a quadratic block self-join. The gram and size tables are
+    built ONLY over docs that appear in some candidate pair (a
+    left_semi against the candidate ids): at a sane candidate rate
+    (≪ 1% of a 100 TB corpus) the expensive |text|-wide gram explode +
+    distinct shuffle skips >99% of the corpus. Intersection counting
+    joins each candidate pair's side-a grams to the gram table on
+    (doc_b, gram): a plain hash equi-join, partition-parallel at any
+    corpus size. Pairs with an empty gram intersection drop out (their
+    jaccard is 0)."""
     if candidates is None:
         candidates = minhash_lsh_pairs(docs)
-    grams = char_ngrams(docs, n)
+    # several downstream branches (the semi-join + the pair join)
+    # reference candidates; pin it so the LSH lineage runs once
+    candidates = candidates.localCheckpoint(eager=True)
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    docs_in_play = docs.join(cand_ids, "doc_id", "left_semi")
+    grams = char_ngrams(docs_in_play, n)
     sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     ga = grams.withColumnRenamed("doc_id", "doc_a")
     gb = grams.withColumnRenamed("doc_id", "doc_b")
@@ -476,6 +490,96 @@ def ngram_jaccard_pairs(
     )
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star: every node connects its strictly-LARGER neighbors to
+    the minimum of its closed neighborhood. Output stays canonical
+    (u > v) because the emitted target m ≤ a < b."""
+    bi = edges.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).unionByName(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    mins = bi.groupBy("a").agg(
+        F.least(F.min("b"), F.first("a")).alias("m")
+    )
+    return (
+        bi.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: every node connects its smaller-or-equal neighbors
+    (and itself) to the minimum among them. Input/output canonical
+    (u > v); self-loops (v == m) are dropped."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    j = edges.join(mins, "u")
+    out = j.select(F.col("v").alias("u"), F.col("m").alias("v")).unionByName(
+        mins.select("u", F.col("m").alias("v"))
+    )
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iters: int = 25,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, int]:
+    """Connected components by alternating large-star/small-star
+    contraction (the standard MapReduce CC algorithm — converges in
+    O(log n) rounds, vs graph-DIAMETER rounds for plain min-label
+    propagation: a 10k-node chain is ~14 rounds instead of ~10k).
+
+    `nodes` supplies one row per node in `id_col`; `edges` is any
+    (doc_a, doc_b) pair table. Each round runs large-star then
+    small-star — both are one co-keyed groupBy-min + equi-join over the
+    (shrinking) edge set, map-side-combinable, localCheckpointed so the
+    loop's lineage stays flat. Convergence = the canonical edge set is
+    a fixpoint (exact set comparison via count + subtract, never a
+    driver collect of rows). At the fixpoint the edge set is a star per
+    component centered on the component MIN id; labels read directly
+    off the stars. Returns (labels DataFrame[(id_col, cluster_id)],
+    rounds_used).
+    """
+    e = (
+        edges.select(
+            F.greatest(F.col("doc_a"), F.col("doc_b")).alias("u"),
+            F.least(F.col("doc_a"), F.col("doc_b")).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    rounds = 0
+    converged = n_edges == 0
+    for _ in range(max_iters):
+        if converged:
+            break
+        new = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        rounds += 1
+        n_new = new.count()
+        if n_new == n_edges and new.subtract(e).isEmpty():
+            converged = True
+        e, n_edges = new, n_new
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "— raise max_iters"
+        )
+    comp = e.groupBy("u").agg(F.min("v").alias("cluster_id"))
+    labels = (
+        nodes.select(id_col)
+        .join(comp.withColumnRenamed("u", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    return labels, rounds
+
+
 def dedup_clusters(
     docs: DataFrame,
     pairs: DataFrame | None = None,
@@ -484,56 +588,12 @@ def dedup_clusters(
     """Near-duplicate clusters: connected components over candidate
     pairs (default minhash_lsh_pairs), cluster id = min doc_id in the
     component — the canonical-document step a training-data dedup
-    pipeline runs after pair generation.
-
-    Min-label propagation: each round every doc takes the min of its
-    own label and its neighbors' labels (one hash equi-join on the
-    bidirectional edge list + a groupBy min — both map-side-combinable);
-    rounds ≤ graph diameter ≤ max_iters. Labels localCheckpoint per
-    round so the loop's lineage stays flat; convergence is detected by
-    an aggregate (count of changed labels), never by collecting rows.
-    Docs in no pair are singleton clusters of themselves.
-    """
+    pipeline runs after pair generation. See connected_components for
+    the O(log n)-round star-contraction loop."""
     if pairs is None:
         pairs = minhash_lsh_pairs(docs)
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).localCheckpoint(eager=True)
-    labels = docs.select(
-        "doc_id", F.col("doc_id").alias("cluster_id")
-    ).localCheckpoint(eager=True)
-    for _ in range(max_iters):
-        neigh = (
-            edges.join(
-                labels.withColumnRenamed("doc_id", "dst"), "dst"
-            )
-            .groupBy(F.col("src").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("n_min"))
-        )
-        updated = (
-            labels.join(neigh, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("n_min"), F.col("cluster_id")),
-                ).alias("cluster_id"),
-                (
-                    F.coalesce(F.col("n_min"), F.col("cluster_id"))
-                    < F.col("cluster_id")
-                ).cast("int").alias("changed"),
-            )
-        ).localCheckpoint(eager=True)
-        n_changed = updated.agg(F.sum("changed")).first()[0] or 0
-        labels = updated.drop("changed")
-        if n_changed == 0:
-            return labels
-    raise RuntimeError(
-        f"dedup_clusters did not converge in {max_iters} rounds "
-        "(component diameter exceeds max_iters) — raise max_iters"
-    )
+    labels, _ = connected_components(docs, pairs, max_iters=max_iters)
+    return labels
 
 
 WINNOW_K = 5  # rolling k-gram length

@@ -48,6 +48,13 @@ def main():
         datagen.write_parquet(datagen.gen_knn_queries(n=60, seed=42), qpath)
     knn = ops.knn_join(scenes, spark.read.parquet(qpath), level=5)
 
+    from mosaic_engine import annops, textops
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    lsh_pairs = textops.minhash_lsh_pairs(docs)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ivf = annops.ivf_topk(emb, n_queries=10, k=5, n_probe=2)
+
     sections = [
         (
             "Filtered scan (F1–F5)",
@@ -87,12 +94,37 @@ def main():
             "CartesianProduct, no iteration, nothing collected.",
             formatted(knn),
         ),
+        (
+            "MinHash-LSH candidate pairs (dedup lane)",
+            "The pair generator never goes all-pairs: shingles build "
+            "map-only from the per-doc split array (no token shuffle), "
+            "signatures reduce with map-side partial_min on doc_id, and "
+            "candidates meet through a hash equi-join on (band, key) — "
+            "only colliding docs shuffle together. The bucket-size "
+            "aggregation guarding degenerate mega-buckets shuffles on "
+            "the SAME (band, key), so it rides the join's exchange; "
+            "oversized buckets exit through the star branch instead of "
+            "the quadratic self-join.",
+            formatted(lsh_pairs),
+        ),
+        (
+            "IVF ANN top-k (embedding lane)",
+            "Bounded driver state (n_list×DIM integer centroids — the "
+            "standard k-means pattern) becomes literal columns, so list "
+            "assignment is a map-only projection over the corpus; the "
+            "query side (tiny) broadcasts; candidates meet through a "
+            "broadcast equi-join on the list id, touching ~n_probe/"
+            "n_list of the corpus; exact integer cosine + sorted-struct "
+            "top-k finishes with map-side partial aggregation.",
+            formatted(ivf),
+        ),
     ]
 
     out = [
         "# Physical plans — flagship pipeline\n",
         "Generated by `python scripts/gen_plans_doc.py` (pyspark "
-        f"{spark.version}, AQE on). The three stages of E1:\n",
+        f"{spark.version}, AQE on). The flagship geo pipeline stages, "
+        "then the text-dedup and embedding-ANN lanes:\n",
     ]
     for title, commentary, plan in sections:
         out.append(f"\n## {title}\n\n{commentary}\n\n```\n{plan}```\n")

@@ -223,3 +223,43 @@ def test_knn_scene_beyond_mercator_clamp_stays_exact(spark, level):
     assert exp[0]["image_id"] == "NEAR"  # the construction is adversarial
     assert [tuple(r)[:3] for r in got] == [tuple(r)[:3] for r in exp]
     assert got[0]["dist_m"] == pytest.approx(exp[0]["dist_m"], rel=1e-12)
+
+
+def test_knn_auto_level_exact_on_dense_and_sparse(spark, scenes_df):
+    """(VERDICT r2 #7) level=None auto-picks the banding level from
+    corpus density; exactness must hold on a dense corpus (the scenes
+    fixture) and a sparse scattered one, probes in- and out-of-extent."""
+    from pyspark.sql import Row
+
+    queries = spark.createDataFrame(
+        [
+            Row(query_id=0, lon=-120.0, lat=34.0, k=3),
+            Row(query_id=1, lon=10.0, lat=-70.0, k=2),  # far out of extent
+            Row(query_id=2, lon=179.5, lat=40.0, k=4),
+        ]
+    )
+    got = sorted(map(tuple, ops.knn_join(scenes_df, queries).collect()))
+    exp = sorted(map(tuple, ops.knn_bruteforce(scenes_df, queries).collect()))
+    assert [g[:3] for g in got] == [e[:3] for e in exp]
+
+    sparse = spark.createDataFrame(
+        [
+            Row(image_id=f"S{i}", min_lon=float(lo), max_lon=float(lo + 2),
+                min_lat=float(la), max_lat=float(la + 2))
+            for i, (lo, la) in enumerate(
+                [(-150, -40), (20, 60), (100, -10), (170, 10), (-60, 45)]
+            )
+        ]
+    )
+    got = sorted(map(tuple, ops.knn_join(sparse, queries).collect()))
+    exp = sorted(map(tuple, ops.knn_bruteforce(sparse, queries).collect()))
+    assert [g[:3] for g in got] == [e[:3] for e in exp]
+
+
+def test_knn_pick_level_heuristic_shape():
+    """~max(16, 4k) scenes per nonempty cell, clamped to [3, 12]."""
+    assert ops.knn_pick_level(1_000_000, 3) == 8
+    assert ops.knn_pick_level(10_000, 3) == 5
+    assert ops.knn_pick_level(100, 3) == 3          # clamp low
+    assert ops.knn_pick_level(10**12, 8) == 12      # clamp high
+    assert ops.knn_pick_level(0, 1) == 3            # empty corpus safe

@@ -167,3 +167,23 @@ def test_partition_pruning_reaches_scan(spark, scenes_df, tmp_path):
     # (inputFiles() lists pre-pruning, so assert at the data level)
     n_expected = scenes_df.filter(F.col("path") == 2).count()
     assert df.count() == n_expected > 0
+
+
+def test_ngram_jaccard_gram_build_is_candidate_reduced(spark):
+    """(VERDICT r2 #2) The expensive char-ngram explode+distinct must
+    run only over docs that appear in some candidate pair — the plan
+    must semi-join documents against the candidate ids BEFORE the
+    explode, so a 100 TB corpus with a ≪1% candidate rate skips >99%
+    of the gram shuffle."""
+    from mosaic_engine import textops
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = textops.ngram_jaccard_pairs(docs, n=4, min_jaccard=0.0)
+    plan = _optimized(out)
+    assert "LeftSemi" in plan, plan
+    # the semi join must sit below the gram explode (generator), not
+    # above it: walking the tree string, every Generate node appears
+    # after (deeper than) a LeftSemi mention in at least one branch
+    gen_at = plan.find("Generate explode")
+    assert gen_at != -1, plan
+    assert "LeftSemi" in plan[gen_at:], plan

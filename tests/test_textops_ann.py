@@ -229,8 +229,8 @@ def test_ivf_topk_recall_and_determinism(spark):
 
 
 def test_dedup_clusters_chain_propagation_and_singletons(spark):
-    """Min-label propagation crosses a path graph's full diameter (the
-    min label must hop round by round), singletons keep their own id."""
+    """Star contraction crosses a path graph's full diameter,
+    singletons keep their own id."""
     docs = spark.createDataFrame(
         [Row(doc_id=i, text=f"doc {i}", lang="en", source="a", n_chars=6)
          for i in range(8)]
@@ -287,13 +287,65 @@ def test_token_count_bpe_matches_scalar(spark):
 def test_dedup_clusters_raises_when_not_converged(spark):
     docs = spark.createDataFrame(
         [Row(doc_id=i, text=f"d{i}", lang="en", source="a", n_chars=2)
-         for i in range(6)]
+         for i in range(64)]
     )
     chain = spark.createDataFrame(
-        [Row(doc_a=i, doc_b=i + 1) for i in range(5)]
+        [Row(doc_a=i, doc_b=i + 1) for i in range(63)]
     )
     with pytest.raises(RuntimeError, match="converge"):
-        textops.dedup_clusters(docs, pairs=chain, max_iters=2)
+        textops.dedup_clusters(docs, pairs=chain, max_iters=1)
+
+
+def test_connected_components_long_chain_log_rounds(spark):
+    """(VERDICT r2 #3) Star contraction must converge in O(log n)
+    rounds, not diameter-many: a 512-node path graph (diameter 511 —
+    min-label propagation would need ~511 rounds) finishes within
+    ceil(log2 n) + 3 rounds with exactly the right labels."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    n = 512
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    labels, rounds = textops.connected_components(docs, chain, max_iters=25)
+    assert rounds <= math.ceil(math.log2(n)) + 3, rounds
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_mixed_graph_matches_unionfind(spark):
+    """Random multi-component graph vs a scalar union-find oracle."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    n = 300
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(220)]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    exp = {i: find(i) for i in range(n)}
+    # oracle roots ARE component minima (union always keeps the min)
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    edf = spark.createDataFrame(
+        [Row(doc_a=a, doc_b=b) for a, b in edges]
+    )
+    labels, _ = textops.connected_components(docs, edf, max_iters=25)
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == exp
 
 
 def test_winnow_fingerprints_match_scalar_oracle(spark):
