@@ -478,6 +478,39 @@ def sql_minhash_lsh_pairs():
     )
 
 
+def q_lsh_bucket_stats(spark, sf_dir):
+    """Observability for the LSH mega-bucket guard
+    (textops.lsh_bucket_stats): per-band bucket population and how much
+    of the corpus sits in star-degraded overflow buckets."""
+    return textops.lsh_bucket_stats(
+        textops.minhash_banded(_t(spark, sf_dir, "documents"))
+    )
+
+
+def sql_lsh_bucket_stats():
+    sig = sql_minhash_signatures()
+    rpb = textops.ROWS_PER_BAND
+    cap = textops.LSH_MAX_BUCKET
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || '_' || ".join(
+            f"CAST(mh{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+        )
+        + " AS bsig FROM sig"
+        for b in range(textops.LSH_BANDS)
+    )
+    return (
+        f"WITH sig AS ({sig}), banded AS ({bands}), "
+        "sz AS (SELECT band, bsig, count(*) AS n FROM banded "
+        "GROUP BY band, bsig) "
+        "SELECT band, count(*) AS n_buckets, max(n) AS max_bucket_rows, "
+        f"CAST(sum(CASE WHEN n > {cap} THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_overflow_buckets, "
+        f"CAST(sum(CASE WHEN n > {cap} THEN n ELSE 0 END) AS BIGINT) "
+        "AS n_overflow_rows FROM sz GROUP BY band"
+    )
+
+
 def q_simhash(spark, sf_dir):
     return textops.simhash(_t(spark, sf_dir, "documents"))
 
@@ -1515,6 +1548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash_pairs": q_simhash_pairs,
+        "dedup_lsh_bucket_stats": q_lsh_bucket_stats,
         "text_lang_id": q_lang_id,
         "text_token_count_bpe": q_token_count_bpe,
         "text_quality": q_quality,
@@ -1561,6 +1595,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": sql_ngram_jaccard(),
         "dedup_clusters": sql_dedup_clusters(),
         "dedup_simhash_pairs": sql_simhash_pairs(),
+        "dedup_lsh_bucket_stats": sql_lsh_bucket_stats(),
         "text_lang_id": sql_lang_id(),
         "text_token_count_bpe": sql_token_count_bpe(),
         "text_quality": sql_quality(),

@@ -15,6 +15,14 @@ as an idiomatic Spark engine:
 - canonical mosaicJSON assembly (mosaic.py)
 - image payload lane (imageops.py): raw/ppm/png codecs, PSNR, phash
 - checkpoint/resume manifests (checkpoint.py)
+- training-data text lane (textops.py): exact/MinHash-LSH/SimHash
+  dedup with mega-bucket-guarded pair generation, star-contraction
+  near-dup clustering, language ID / quality / token stats / winnowing
+- embedding ANN lane (annops.py): brute cosine, hyperplane-LSH with
+  multi-probe, deterministic-integer IVF, banded near-dup pairs
+- incremental streaming maintenance (streaming.py): foreachBatch tiles
+  log with manifest-committed compaction, watermarked windows,
+  stateful sessionization
 """
 
 __version__ = "0.1.0"

@@ -131,7 +131,10 @@ def main(argv=None):
     kp.add_argument("--scenes", required=True)
     kp.add_argument("--queries", required=True)
     kp.add_argument("--out", required=True)
-    kp.add_argument("--level", type=int, default=5)
+    kp.add_argument(
+        "--level", type=int, default=None,
+        help="banding level; default auto-picks from corpus density",
+    )
 
     tl = sub.add_parser(
         "tiles", help="batched tile reads: requests (tx,ty)@z → assets"

@@ -238,11 +238,17 @@ def minhash_lsh_pairs(
     degenerate mega-buckets degrade to stars (see
     banded_candidate_pairs).
     """
+    return banded_candidate_pairs(minhash_banded(docs), max_bucket=max_bucket)
+
+
+def minhash_banded(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, key) LSH banding rows over the minhash signature —
+    the input shape shared by banded_candidate_pairs and
+    lsh_bucket_stats."""
     sig = minhash_signatures(docs)
-    rows_per_band = ROWS_PER_BAND
     bands = []
     for b in range(LSH_BANDS):
-        cols = [f"mh{b * rows_per_band + r}" for r in range(rows_per_band)]
+        cols = [f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
         bands.append(
             sig.select(
                 "doc_id",
@@ -253,7 +259,7 @@ def minhash_lsh_pairs(
     banded = bands[0]
     for b in bands[1:]:
         banded = banded.unionByName(b)
-    return banded_candidate_pairs(banded, max_bucket=max_bucket)
+    return banded
 
 
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:

@@ -408,19 +408,7 @@ def test_lsh_mega_bucket_guard_star_policy(spark):
     )
     assert {(r["cluster_id"], r["count"]) for r in got} == {(0, n)}
     # the observability companion flags every band's bucket
-    sig = textops.minhash_signatures(docs)
-    banded = None
-    for b in range(textops.LSH_BANDS):
-        cols = [
-            f"mh{b * textops.ROWS_PER_BAND + r}"
-            for r in range(textops.ROWS_PER_BAND)
-        ]
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.concat_ws("_", *cols).alias("key"),
-        )
-        banded = part if banded is None else banded.unionByName(part)
+    banded = textops.minhash_banded(docs)
     stats = {
         r["band"]: (r["n_overflow_buckets"], r["n_overflow_rows"])
         for r in textops.lsh_bucket_stats(banded).collect()
@@ -436,3 +424,27 @@ def test_lsh_guard_exact_below_cap_and_unguarded_identical(spark, docs):
     exact = {(r["doc_a"], r["doc_b"])
              for r in textops.minhash_lsh_pairs(docs, max_bucket=None).collect()}
     assert guarded == exact and guarded
+
+
+def test_embedding_neardup_mega_bucket_guard(spark):
+    """The embedding pair generator shares banded_candidate_pairs, so a
+    degenerate corpus (thousands of identical vectors → one LSH bucket
+    per band) must also degrade to star pairs, all of which survive the
+    exact cosine verify (score 1.0)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(3)
+    base = [float(v) for v in rng.normal(size=annops.DIM)]
+    n = 4000
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(v) for v in base]).alias("embedding"),
+        F.lit(1).alias("label"),
+    )
+    got = annops.neardup_pairs(emb, min_score=0.99, max_bucket=500).collect()
+    assert len(got) == n - 1
+    assert {(r["vec_a"], r["vec_b"]) for r in got} == {
+        (0, i) for i in range(1, n)
+    }
+    assert all(r["score"] > 0.999 for r in got)
