@@ -101,6 +101,13 @@ def main():
         "knn_banded_synthetic",
         lambda: ops.knn_join(scenes, knn_queries).count(),
     )
+    # serving path: corpus index built once (index-on-ingest), probe
+    # batches reuse it — what a tile/scene-lookup service actually runs
+    knn_idx = ops.knn_index(scenes, k_hint=3)
+    timed(
+        "knn_banded_served",
+        lambda: ops.knn_join(None, knn_queries, index=knn_idx).count(),
+    )
     extras["n_scenes"] = N_SCENES
     extras["n_assignments"] = n_assign
     extras["tiles_per_sec"] = round(n_assign / times["mosaic_build_synthetic"], 1)

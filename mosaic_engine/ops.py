@@ -256,18 +256,108 @@ def knn_pick_level(n_scenes: int, k: int) -> int:
     return min(KNN_MAX_LEVEL, max(KNN_MIN_LEVEL, round(math.log(cells, 4))))
 
 
+@dataclass
+class KnnIndex:
+    """Reusable kNN corpus index: the banding level, the centroid table
+    keyed by packed cell, and the localCheckpointed per-cell stats dim.
+    Build once with knn_index, serve many probe batches through
+    knn_join(index=...) — repeated batches skip the corpus-wide stats
+    aggregation (the serving-at-scale pattern: index on ingest, query
+    per request)."""
+
+    level: int
+    cent: DataFrame  # (image_id, slon, slat, cell)
+    stats: DataFrame  # (cell, n_in_cell, cw, cs, ce, cn), checkpointed
+
+
+def _tile_xy_cols(lon: Column, lat: Column, level: int) -> tuple[Column, Column]:
+    """Native web-mercator tile x/y at `level` (codegen, no Arrow hop)."""
+    import math
+
+    z2 = float(1 << level)
+    nmax = (1 << level) - 1
+    LAT_MAX = 85.05112878
+    lon_c = F.greatest(F.least(lon, F.lit(180.0)), F.lit(-180.0))
+    lat_r = F.radians(
+        F.greatest(F.least(lat, F.lit(LAT_MAX)), F.lit(-LAT_MAX))
+    )
+    xn = (lon_c + 180.0) / 360.0
+    yn = (1.0 - F.log(F.tan(lat_r) + 1.0 / F.cos(lat_r)) / math.pi) / 2.0
+    clamp = lambda c: F.greatest(F.least(c, F.lit(nmax)), F.lit(0))  # noqa: E731
+    return (
+        clamp(F.floor(xn * z2).cast("long")),
+        clamp(F.floor(yn * z2).cast("long")),
+    )
+
+
+def _cell_rect_cols(key: str, zoom: int) -> list[Column]:
+    """Native inverse: (x<<30)|y key at `zoom` → rect columns
+    (cw, cs, ce, cn) via the mercator gudermannian. The top/bottom
+    tile rows also receive points whose centroid lat exceeds the
+    mercator clamp (±85.05..), so those rects stretch to the poles
+    — every point mapped into a cell must lie INSIDE its rect or
+    maxd is not a valid upper bound and pruning goes wrong."""
+    import math
+
+    zz = float(1 << zoom)
+    nm = (1 << zoom) - 1
+    x = F.shiftright(F.col(key), 30)
+    y = F.col(key) - F.shiftleft(x, 30)
+    merc = lambda yy: F.degrees(  # noqa: E731
+        F.atan(F.sinh(math.pi * (1.0 - 2.0 * yy / zz)))
+    )
+    return [
+        (x / zz * 360.0 - 180.0).alias("cw"),
+        F.when(y == nm, F.lit(-90.0)).otherwise(merc(y + 1)).alias("cs"),
+        ((x + 1) / zz * 360.0 - 180.0).alias("ce"),
+        F.when(y == 0, F.lit(90.0)).otherwise(merc(y)).alias("cn"),
+    ]
+
+
+def knn_index(
+    scenes: DataFrame, level: int | None = None, k_hint: int = 8
+) -> KnnIndex:
+    """Build the kNN corpus index (see KnnIndex). ``level=None``
+    auto-picks via knn_pick_level (one count() over the scenes scan —
+    parquet metadata-cheap). The cell key is INTERNAL to the operator
+    (stats side and scoring side just have to agree), so it's computed
+    natively — whole-stage codegen, no Arrow hop over the big scenes
+    table. Key = (x<<30)|y."""
+    if level is None:
+        level = knn_pick_level(scenes.count(), k_hint)
+    cent = scenes.select(
+        "image_id",
+        ((F.col("min_lon") + F.col("max_lon")) / 2).alias("slon"),
+        ((F.col("min_lat") + F.col("max_lat")) / 2).alias("slat"),
+    )
+    sx, sy = _tile_xy_cols(F.col("slon"), F.col("slat"), level)
+    sc = cent.withColumn("cell", F.shiftleft(sx, 30) + sy)
+    stats = (
+        sc.groupBy("cell")
+        .agg(F.count("*").alias("n_in_cell"))
+        .select("cell", "n_in_cell", *_cell_rect_cols("cell", level))
+    )
+    # stats is bounded (≤ 4^level rows) but its lineage scans the whole
+    # corpus; several downstream branches reference it, so materialize
+    # the small result once in executor storage instead of re-scanning
+    return KnnIndex(level, sc, stats.localCheckpoint(eager=True))
+
+
 def knn_join(
-    scenes: DataFrame,
+    scenes: DataFrame | None,
     queries: DataFrame,
     k: int | None = None,
     level: int | None = None,
+    index: KnnIndex | None = None,
 ) -> DataFrame:
     """J3: exact k nearest scenes (footprint-centroid haversine) per query.
 
     ``level=None`` (default) auto-picks the banding level from the
     corpus size via knn_pick_level — one count() over the scenes scan
     (parquet metadata-cheap) plus, when per-query k is used, one
-    max(k) over the small probe table.
+    max(k) over the small probe table. Pass a prebuilt ``index``
+    (knn_index) to serve repeated probe batches without rebuilding the
+    corpus stats; `scenes`/`level` are then ignored.
 
     One-pass cell-stats pruning — no iteration, no driver-side loop:
 
@@ -302,79 +392,16 @@ def knn_join(
     aggregate), so each probe meets only the fine cells inside its
     surviving regions instead of every nonempty cell.
     """
-    import math
-
-    if level is None:
+    if index is None:
         kv = (
             k
             if k is not None
             else (queries.agg(F.max("k")).first()[0] or 1)
         )
-        level = knn_pick_level(scenes.count(), int(kv))
+        index = knn_index(scenes, level=level, k_hint=int(kv))
+    level, sc, stats = index.level, index.cent, index.stats
 
     u = udfs.make_scalar_udfs()
-    cent = scenes.select(
-        "image_id",
-        ((F.col("min_lon") + F.col("max_lon")) / 2).alias("slon"),
-        ((F.col("min_lat") + F.col("max_lat")) / 2).alias("slat"),
-    )
-    # The cell key is INTERNAL to this operator (stats side and scoring
-    # side just have to agree), so it's computed natively — whole-stage
-    # codegen, no Arrow hop over the big scenes table. Key = (x<<30)|y.
-    z2 = float(1 << level)
-    nmax = (1 << level) - 1
-    LAT_MAX = 85.05112878
-
-    def _tile_xy(lon: Column, lat: Column) -> tuple[Column, Column]:
-        lon_c = F.greatest(F.least(lon, F.lit(180.0)), F.lit(-180.0))
-        lat_r = F.radians(
-            F.greatest(F.least(lat, F.lit(LAT_MAX)), F.lit(-LAT_MAX))
-        )
-        xn = (lon_c + 180.0) / 360.0
-        yn = (
-            1.0 - F.log(F.tan(lat_r) + 1.0 / F.cos(lat_r)) / math.pi
-        ) / 2.0
-        clamp = lambda c: F.greatest(  # noqa: E731
-            F.least(c, F.lit(nmax)), F.lit(0)
-        )
-        return (
-            clamp(F.floor(xn * z2).cast("long")),
-            clamp(F.floor(yn * z2).cast("long")),
-        )
-
-    sx, sy = _tile_xy(F.col("slon"), F.col("slat"))
-    sc = cent.withColumn("cell", F.shiftleft(sx, 30) + sy)
-
-    def _cell_rect(key: str, zoom: int) -> list[Column]:
-        """Native inverse: (x<<30)|y key at `zoom` → rect columns
-        (cw, cs, ce, cn) via the mercator gudermannian. The top/bottom
-        tile rows also receive points whose centroid lat exceeds the
-        mercator clamp (±85.05..), so those rects stretch to the poles
-        — every point mapped into a cell must lie INSIDE its rect or
-        maxd is not a valid upper bound and pruning goes wrong."""
-        zz = float(1 << zoom)
-        nm = (1 << zoom) - 1
-        x = F.shiftright(F.col(key), 30)
-        y = F.col(key) - F.shiftleft(x, 30)
-        merc = lambda yy: F.degrees(  # noqa: E731
-            F.atan(F.sinh(math.pi * (1.0 - 2.0 * yy / zz)))
-        )
-        return [
-            (x / zz * 360.0 - 180.0).alias("cw"),
-            F.when(y == nm, F.lit(-90.0)).otherwise(merc(y + 1)).alias("cs"),
-            ((x + 1) / zz * 360.0 - 180.0).alias("ce"),
-            F.when(y == 0, F.lit(90.0)).otherwise(merc(y)).alias("cn"),
-        ]
-
-    stats = (
-        sc.groupBy("cell")
-        .agg(F.count("*").alias("n_in_cell"))
-        .select("cell", "n_in_cell", *_cell_rect("cell", level))
-    )
-    # stats is bounded (≤ 4^level rows) but its lineage scans the whole
-    # corpus; several downstream branches reference it, so materialize
-    # the small result once in executor storage instead of re-scanning
-    stats = stats.localCheckpoint(eager=True)
     # element_at/slice ordinals must be INT (queries may carry k as long)
     kcol = (F.lit(k) if k is not None else F.col("k")).cast("int")
     # normalize probe lon into [-180, 180): haversine is 360-periodic
@@ -472,7 +499,7 @@ def knn_join(
         coarse = (
             stats_p.groupBy("pcell")
             .agg(F.sum("n_in_cell").alias("n_in_cell"))
-            .select("pcell", "n_in_cell", *_cell_rect("pcell", zc))
+            .select("pcell", "n_in_cell", *_cell_rect_cols("pcell", zc))
         )
         pairs_c = _with_bounds(q.join(F.broadcast(coarse)))
         selc = _rstar_filter(

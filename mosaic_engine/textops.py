@@ -566,6 +566,8 @@ def connected_components(
         new = _small_star(_large_star(e)).localCheckpoint(eager=True)
         rounds += 1
         n_new = new.count()
+        # set equality needs the subtract only when counts agree —
+        # most rounds shrink the edge set, skipping that extra shuffle
         if n_new == n_edges and new.subtract(e).isEmpty():
             converged = True
         e, n_edges = new, n_new

@@ -263,3 +263,22 @@ def test_knn_pick_level_heuristic_shape():
     assert ops.knn_pick_level(100, 3) == 3          # clamp low
     assert ops.knn_pick_level(10**12, 8) == 12      # clamp high
     assert ops.knn_pick_level(0, 1) == 3            # empty corpus safe
+
+
+def test_knn_index_reuse_matches_brute(spark, scenes_df):
+    """A prebuilt knn_index serves multiple probe batches (the
+    index-on-ingest / query-per-request pattern) with exact results."""
+    from pyspark.sql import Row
+
+    idx = ops.knn_index(scenes_df, k_hint=4)
+    batches = [
+        [Row(query_id=0, lon=-120.0, lat=34.0, k=3),
+         Row(query_id=1, lon=150.0, lat=-50.0, k=2)],
+        [Row(query_id=0, lon=-118.5, lat=36.0, k=4),
+         Row(query_id=1, lon=0.0, lat=0.0, k=1)],
+    ]
+    for rows in batches:
+        q = spark.createDataFrame(rows)
+        got = sorted(map(tuple, ops.knn_join(None, q, index=idx).collect()))
+        exp = sorted(map(tuple, ops.knn_bruteforce(scenes_df, q).collect()))
+        assert [g[:3] for g in got] == [e[:3] for e in exp]
