@@ -459,7 +459,9 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return textops.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
 
 
-def sql_minhash_lsh_pairs():
+def _sql_minhash_banded():
+    """The (doc_id, band, bsig) banding rows as a WITH prefix — shared
+    by the pair and bucket-stats oracles (one builder, no drift)."""
     sig = sql_minhash_signatures()
     rpb = textops.ROWS_PER_BAND
     bands = " UNION ALL ".join(
@@ -470,8 +472,12 @@ def sql_minhash_lsh_pairs():
         + " AS bsig FROM sig"
         for b in range(textops.LSH_BANDS)
     )
+    return f"WITH sig AS ({sig}), banded AS ({bands})"
+
+
+def sql_minhash_lsh_pairs():
     return (
-        f"WITH sig AS ({sig}), banded AS ({bands}) "
+        f"{_sql_minhash_banded()} "
         "SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b "
         "FROM banded l JOIN banded r ON l.band = r.band AND l.bsig = r.bsig "
         "AND l.doc_id < r.doc_id"
@@ -488,19 +494,9 @@ def q_lsh_bucket_stats(spark, sf_dir):
 
 
 def sql_lsh_bucket_stats():
-    sig = sql_minhash_signatures()
-    rpb = textops.ROWS_PER_BAND
     cap = textops.LSH_MAX_BUCKET
-    bands = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, "
-        + " || '_' || ".join(
-            f"CAST(mh{b * rpb + r} AS VARCHAR)" for r in range(rpb)
-        )
-        + " AS bsig FROM sig"
-        for b in range(textops.LSH_BANDS)
-    )
     return (
-        f"WITH sig AS ({sig}), banded AS ({bands}), "
+        f"{_sql_minhash_banded()}, "
         "sz AS (SELECT band, bsig, count(*) AS n FROM banded "
         "GROUP BY band, bsig) "
         "SELECT band, count(*) AS n_buckets, max(n) AS max_bucket_rows, "

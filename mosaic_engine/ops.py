@@ -393,12 +393,17 @@ def knn_join(
     surviving regions instead of every nonempty cell.
     """
     if index is None:
-        kv = (
-            k
-            if k is not None
-            else (queries.agg(F.max("k")).first()[0] or 1)
-        )
-        index = knn_index(scenes, level=level, k_hint=int(kv))
+        if level is None:
+            # the max(k) probe-table job runs ONLY when it's actually
+            # needed (auto level with per-query k)
+            kv = (
+                k
+                if k is not None
+                else (queries.agg(F.max("k")).first()[0] or 1)
+            )
+            index = knn_index(scenes, k_hint=int(kv))
+        else:
+            index = knn_index(scenes, level=level)
     level, sc, stats = index.level, index.cent, index.stats
 
     u = udfs.make_scalar_udfs()

@@ -96,9 +96,9 @@ def run_incremental(
     n_batches = {"n": 0}
 
     def handle(batch_df, batch_id):
-        # a batch folded into the compacted partition by
-        # compact_tiles_log must NOT be rewritten on redelivery — its
-        # rows already live under batch_id=-1
+        # a batch folded by compact_tiles_log must NOT be rewritten on
+        # redelivery — its rows already live in the manifest's current
+        # tiles_compacted/gen=<k> generation
         if int(batch_id) in _folded_batches(work_dir):
             n_batches["n"] += 1
             return
@@ -129,12 +129,24 @@ def _manifest_path(work_dir: str) -> str:
 
 
 def _read_manifest(work_dir: str) -> dict:
+    import json as _json
+
     p = _manifest_path(work_dir)
     if os.path.exists(p):
-        import json as _json
-
         with open(p) as f:
             return _json.load(f)
+    # migrate a work_dir compacted by the pre-manifest scheme
+    # (compacted_batches.json + tiles_log/batch_id=-1): its folded set
+    # must keep protecting against redelivery, and batch_id=-1 stays a
+    # live batch dir until the next compaction folds it into gen=0
+    legacy = os.path.join(work_dir, "compacted_batches.json")
+    if os.path.exists(legacy):
+        with open(legacy) as f:
+            man = {"gen": None, "folded": sorted(_json.load(f)),
+                   "chk_id": _chk_query_id(work_dir)}
+        _write_manifest(work_dir, man)
+        os.remove(legacy)
+        return man
     return {"gen": None, "folded": [], "chk_id": None}
 
 
@@ -152,6 +164,14 @@ def _write_manifest(work_dir: str, man: dict) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp, p)
+    # the rename's directory entry must be durable BEFORE callers
+    # delete the dirs the old manifest referenced — otherwise a power
+    # loss could revert to the old manifest with its data already gone
+    dfd = os.open(os.path.dirname(p) or ".", os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def _chk_query_id(work_dir: str) -> str | None:

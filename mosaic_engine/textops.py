@@ -362,7 +362,14 @@ def simhash_pairs(
     are a SUPERSET of every qualifying pair — the same
     bucketed-not-all-pairs scale shape as minhash_lsh_pairs, with
     2^(SIM64_BITS//bands) buckets per band (2^15 = 32768 at the
-    defaults) keeping collision groups small."""
+    defaults) keeping collision groups small.
+
+    The completeness guarantee holds per bucket only up to
+    `max_bucket` rows: a degenerate mega-bucket degrades to star
+    candidates (banded_candidate_pairs), so qualifying pairs whose
+    ONLY agreeing band is an over-cap bucket and that don't involve
+    that bucket's min id are not emitted. Pass max_bucket=None for
+    unconditional completeness (and accept the quadratic bucket)."""
     if max_hamming >= bands:
         raise ValueError(
             f"banded candidates are only complete for max_hamming < bands "
@@ -461,10 +468,12 @@ def ngram_jaccard_pairs(
     corpus size. Pairs with an empty gram intersection drop out (their
     jaccard is 0)."""
     if candidates is None:
-        candidates = minhash_lsh_pairs(docs)
-    # several downstream branches (the semi-join + the pair join)
-    # reference candidates; pin it so the LSH lineage runs once
-    candidates = candidates.localCheckpoint(eager=True)
+        # two downstream branches (the semi-join + the pair join)
+        # reference the default candidates; pin them so the LSH
+        # lineage runs once. Caller-supplied frames are used as-is —
+        # materialization (or tolerating a recompute) is the caller's
+        # call, and plan construction here must stay lazy for them.
+        candidates = minhash_lsh_pairs(docs).localCheckpoint(eager=True)
     cand_ids = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))

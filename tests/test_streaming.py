@@ -330,3 +330,23 @@ def test_compaction_survives_redelivery_and_crash(spark, tmp_path):
     shutil.rmtree(os.path.join(work, "_chk"))
     with pytest.raises(ValueError, match="folded"):
         streaming.run_incremental(spark, scenes_dir, cfg, work)
+
+
+def test_legacy_compacted_batches_migrates_to_manifest(tmp_path):
+    """A work_dir compacted by the pre-manifest scheme
+    (compacted_batches.json + tiles_log/batch_id=-1) keeps its folded
+    set on first read under the new scheme — redelivery protection and
+    the lost-checkpoint refusal must survive the upgrade."""
+    import json
+
+    work = str(tmp_path / "w")
+    os.makedirs(os.path.join(work, "tiles_log", "batch_id=-1"))
+    with open(os.path.join(work, "compacted_batches.json"), "w") as f:
+        json.dump([0, 1], f)
+    assert streaming._folded_batches(work) == {0, 1}
+    # migration is one-shot: legacy file replaced by the manifest
+    assert not os.path.exists(os.path.join(work, "compacted_batches.json"))
+    assert os.path.exists(streaming._manifest_path(work))
+    # the legacy compacted partition stays live (not in the folded set)
+    assert streaming._tiles_paths(work) == [
+        os.path.join(work, "tiles_log", "batch_id=-1")]

@@ -448,3 +448,65 @@ def test_embedding_neardup_mega_bucket_guard(spark):
         (0, i) for i in range(1, n)
     }
     assert all(r["score"] > 0.999 for r in got)
+
+
+def test_oracle_sf_buckets_stay_under_guard_cap(spark):
+    """The pair oracles (DuckDB) model UNguarded all-pairs semantics
+    while the Spark defaults are guarded: equality of the oracle gate
+    therefore rests on the invariant that no band bucket at the oracle
+    scale factor exceeds LSH_MAX_BUCKET. Pin it — if datagen or the cap
+    ever changes, this fails loudly instead of a confusing hash diff."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    sf = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    mx = (
+        textops.lsh_bucket_stats(textops.minhash_banded(docs))
+        .agg(F.max("max_bucket_rows"))
+        .first()[0]
+    )
+    assert mx < textops.LSH_MAX_BUCKET, mx
+    # simhash banding
+    sig = textops.simhash64(docs)
+    rows = textops.SIM64_BITS // textops.SIMHASH_BANDS
+    mask = (1 << rows) - 1
+    parts = [
+        sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.shiftright("simhash", b * rows)
+            .bitwiseAND(F.lit(mask))
+            .alias("key"),
+        )
+        for b in range(textops.SIMHASH_BANDS)
+    ]
+    banded = parts[0]
+    for p in parts[1:]:
+        banded = banded.unionByName(p)
+    mx = (
+        textops.lsh_bucket_stats(banded)
+        .agg(F.max("max_bucket_rows"))
+        .first()[0]
+    )
+    assert mx < textops.LSH_MAX_BUCKET, mx
+    # embedding hyperplane-LSH banding (annops.neardup_pairs layout)
+    emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+    base = annops.with_quantized(emb)
+    rows_e = annops.N_PLANES // 2
+    parts = [
+        base.select(
+            "vec_id",
+            F.lit(b).alias("band"),
+            annops.lsh_band_col(F.col("q"), b, rows_e).alias("key"),
+        )
+        for b in range(2)
+    ]
+    banded = parts[0].unionByName(parts[1])
+    mx = (
+        textops.lsh_bucket_stats(banded)
+        .agg(F.max("max_bucket_rows"))
+        .first()[0]
+    )
+    assert mx < textops.LSH_MAX_BUCKET, mx
