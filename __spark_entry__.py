@@ -1520,6 +1520,54 @@ def q_multimodal_image_check(spark, sf_dir):
     )
 
 
+def _multimodal_fixture(spark, name, gen):
+    """Deterministic multimodal payload parquet (cached per process)."""
+    _ship_package(spark)
+    if name not in _FIXTURE_CACHE:
+        import tempfile
+
+        from mosaic_engine import datagen
+
+        d = tempfile.mkdtemp(prefix="entry_fixtures_")
+        p = os.path.join(d, f"{name}.parquet")
+        datagen.write_parquet(gen(datagen), p)
+        _FIXTURE_CACHE[name] = p
+    return spark.read.parquet(_FIXTURE_CACHE[name])
+
+
+def q_multimodal_video_frames(spark, sf_dir):
+    """Video lane: demux ('rawv' real; compressed codecs stubbed) →
+    frame-sample → per-frame features + phash (rows-only: binary
+    demux/pixel ops not in SQL; the pytest suite verifies values)."""
+    from mosaic_engine import udfs
+
+    vids = _multimodal_fixture(
+        spark, "videos", lambda dg: dg.gen_videos(n=24, seed=42)
+    )
+    return udfs.video_frame_features(vids, every_n=3).select(
+        "video_id", "frame_idx", "frame_phash", "decode_ok"
+    )
+
+
+def q_multimodal_audio_features(spark, sf_dir):
+    """Audio lane: PCM16-WAV decode (real parser; compressed stubbed) →
+    duration/RMS/zero-crossings/spectral bands (rows-only)."""
+    from mosaic_engine import udfs
+    from pyspark.sql import functions as F
+
+    auds = _multimodal_fixture(
+        spark, "audio", lambda dg: dg.gen_audio(n=32, seed=42)
+    )
+    return udfs.audio_track_features(auds).select(
+        "audio_id",
+        "rate",
+        "n_samples",
+        F.round("rms", 6).alias("rms"),
+        F.round("zcr", 6).alias("zcr"),
+        "decode_ok",
+    )
+
+
 # --------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: derived-point tile
@@ -1571,6 +1619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_banded": q_knn_banded,
         "missing_quadkeys": q_missing_quadkeys,
         "multimodal_image_check": q_multimodal_image_check,
+        "multimodal_video_frames": q_multimodal_video_frames,
+        "multimodal_audio_features": q_multimodal_audio_features,
     }
 
 
@@ -1617,6 +1667,8 @@ def oracle_sql() -> dict[str, str]:
         "rv_join": sql_rv_join(),
         "knn_banded": sql_knn_banded(),
         "missing_quadkeys": sql_missing_quadkeys(),
-        # multimodal_image_check: rows-only by design (binary payload
-        # decode/phash invariants are not SQL-expressible)
+        # multimodal_image_check / _video_frames / _audio_features:
+        # rows-only by design (binary payload decode/demux/phash/DSP
+        # are not SQL-expressible; their oracles are the pytest suite's
+        # scalar recomputations)
     }

@@ -342,6 +342,78 @@ def gen_vector_tiles(n: int = 300, seed: int = 42) -> pa.Table:
     )
 
 
+def gen_videos(
+    n: int = 24, n_frames: int = 12, h: int = 24, w: int = 32, seed: int = 42
+) -> pa.Table:
+    """Deterministic video payload table: mostly 'rawv' containers
+    (imageops.encode_video_rawv — real demux path) plus ~15% compressed
+    fmts whose bytes are junk (exercise the codec-stub path)."""
+    rng = np.random.default_rng(seed + 11)
+    ids, blobs, fmts, counts = [], [], [], []
+    for i in range(n):
+        vid = f"vid_{i:05d}"
+        if rng.random() < 0.15:
+            ids.append(vid)
+            blobs.append(rng.integers(0, 256, 64, dtype=np.uint8).tobytes())
+            fmts.append("mp4")
+            counts.append(0)
+            continue
+        # moving-gradient frames: per-frame content is a deterministic
+        # function of (i, frame) so tests can recompute any frame
+        base = rng.integers(0, 200, (h, w, 3), dtype=np.uint8)
+        frames = np.stack(
+            [(base + 7 * t) % 256 for t in range(n_frames)]
+        ).astype(np.uint8)
+        ids.append(vid)
+        blobs.append(imageops.encode_video_rawv(frames))
+        fmts.append("rawv")
+        counts.append(n_frames)
+    return pa.Table.from_pydict(
+        {
+            "video_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "fmt": pa.array(fmts, pa.string()),
+            "n_frames": pa.array(counts, pa.int32()),
+            "h": pa.array([h] * n, pa.int32()),
+            "w": pa.array([w] * n, pa.int32()),
+        }
+    )
+
+
+def gen_audio(n: int = 32, rate: int = 8000, seed: int = 42) -> pa.Table:
+    """Deterministic audio payload table: mostly PCM16 WAV (real decode
+    path — sine + noise mixtures), ~15% compressed fmts with junk bytes
+    (stub path)."""
+    rng = np.random.default_rng(seed + 12)
+    ids, blobs, fmts, rates = [], [], [], []
+    for i in range(n):
+        aid = f"aud_{i:05d}"
+        if rng.random() < 0.15:
+            ids.append(aid)
+            blobs.append(rng.integers(0, 256, 64, dtype=np.uint8).tobytes())
+            fmts.append("mp3")
+            rates.append(0)
+            continue
+        dur = float(rng.uniform(0.1, 0.5))
+        t = np.arange(int(dur * rate)) / rate
+        freq = float(rng.uniform(100.0, 1200.0))
+        sig = 0.6 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(
+            len(t)
+        )
+        ids.append(aid)
+        blobs.append(imageops.encode_wav_pcm16(sig, rate))
+        fmts.append("wav")
+        rates.append(rate)
+    return pa.Table.from_pydict(
+        {
+            "audio_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "fmt": pa.array(fmts, pa.string()),
+            "rate": pa.array(rates, pa.int32()),
+        }
+    )
+
+
 def write_parquet(table: pa.Table, path: str) -> str:
     import pyarrow.parquet as pq
 

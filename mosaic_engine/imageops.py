@@ -253,21 +253,138 @@ def image_features(pixels: np.ndarray) -> np.ndarray:
     return np.concatenate([mean, std, hist]).astype(np.float32)
 
 
-def sample_video_frames(data: bytes, fmt: str, every_n: int) -> list[bytes]:
-    """STUB: video container demux/decode is not available in this
-    sandbox (no av/ffmpeg libs — SURVEY.md §0). The Spark plumbing
-    (schema, mapInPandas batching) is real and tested against this
-    explicit failure."""
+RAWV_MAGIC = b"RAWV"
+
+
+def encode_video_rawv(frames: np.ndarray) -> bytes:
+    """(n, h, w, 3) uint8 frames → deterministic uncompressed container:
+    magic 'RAWV' + (n, h, w) uint32 BE + C-order frame data. The
+    sandbox's stand-in for a video payload (no ffmpeg — SURVEY.md §0);
+    the Spark lane's schema/batching is codec-agnostic."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    if frames.ndim != 4 or frames.shape[3] != 3:
+        raise ValueError(f"expected (n, h, w, 3) uint8, got {frames.shape}")
+    n, h, w = frames.shape[:3]
+    return RAWV_MAGIC + struct.pack(">III", n, h, w) + frames.tobytes()
+
+
+def sample_video_frames(
+    data: bytes, fmt: str, every_n: int = 1
+) -> list[np.ndarray]:
+    """Demux + frame-sample a video payload: frames [0, every_n, 2·every_n…]
+    as (h, w, 3) uint8 arrays.
+
+    'rawv' (the container above) demuxes for real — header parse + one
+    zero-copy reshape. Compressed containers (mp4/webm/…) raise
+    NotImplementedError: no demuxer libs exist in this sandbox
+    (SURVEY.md §0); plug one in here and the Spark lane is unchanged."""
+    if fmt == "rawv":
+        if bytes(data[:4]) != RAWV_MAGIC or len(data) < 16:
+            raise ValueError("corrupt rawv payload (bad magic/header)")
+        n, h, w = struct.unpack(">III", bytes(data[4:16]))
+        need = n * h * w * 3
+        if len(data) < 16 + need:
+            raise ValueError("corrupt rawv payload (truncated frames)")
+        arr = np.frombuffer(data, np.uint8, count=need, offset=16).reshape(
+            n, h, w, 3
+        )
+        step = max(int(every_n), 1)
+        return [arr[i] for i in range(0, n, step)]
     raise NotImplementedError(
         f"video codec {fmt!r} unavailable in this build; plug a demuxer "
         "into sample_video_frames()"
     )
 
 
-def decode_audio(data: bytes, fmt: str) -> np.ndarray:
-    """STUB: audio codecs not available in this sandbox (no soundfile/
-    librosa). Raises explicitly; plumbing is real."""
+def encode_wav_pcm16(samples: np.ndarray, rate: int) -> bytes:
+    """Mono PCM16 RIFF/WAVE bytes from float samples in [-1, 1] (or
+    int16 passed through). Pure stdlib struct — WAV PCM needs no codec
+    library."""
+    s = np.asarray(samples)
+    if s.dtype != np.int16:
+        s = np.round(np.clip(s.astype(np.float64), -1.0, 1.0) * 32767.0)
+        s = s.astype(np.int16)
+    body = s.tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(body))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(body))
+        + body
+    )
+
+
+def decode_audio(data: bytes, fmt: str) -> tuple[np.ndarray, int]:
+    """Decode an audio payload → (float32 samples in [-1, 1] shaped
+    (n,) mono / (n, c) multichannel, sample_rate).
+
+    'wav' parses the RIFF/PCM16 container for real (chunk walk: fmt +
+    data; PCM16 only — that IS the uncompressed format, no codec lib
+    needed). Compressed audio (mp3/ogg/flac/…) raises
+    NotImplementedError per SURVEY.md §0; the Spark lane is unchanged
+    when a decoder is plugged in."""
+    if fmt == "wav":
+        b = bytes(data)
+        if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            raise ValueError("corrupt wav payload (bad RIFF header)")
+        pos, rate, channels, bits = 12, None, None, None
+        body = None
+        while pos + 8 <= len(b):
+            tag = b[pos:pos + 4]
+            size = struct.unpack("<I", b[pos + 4:pos + 8])[0]
+            chunk = b[pos + 8:pos + 8 + size]
+            if tag == b"fmt ":
+                codec, channels, rate = struct.unpack("<HHI", chunk[:8])
+                bits = struct.unpack("<H", chunk[14:16])[0]
+                if codec != 1 or bits != 16:
+                    raise NotImplementedError(
+                        f"wav codec={codec} bits={bits}: only PCM16 is "
+                        "implemented in this build"
+                    )
+            elif tag == b"data":
+                body = chunk
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if rate is None or body is None:
+            raise ValueError("corrupt wav payload (missing fmt/data chunk)")
+        s = np.frombuffer(body, dtype="<i2").astype(np.float32) / 32768.0
+        if channels and channels > 1:
+            s = s[: (len(s) // channels) * channels].reshape(-1, channels)
+        return s, int(rate)
     raise NotImplementedError(
         f"audio codec {fmt!r} unavailable in this build; plug a decoder "
         "into decode_audio()"
     )
+
+
+AUDIO_BANDS = 4
+
+
+def audio_features(samples: np.ndarray, rate: int) -> dict:
+    """Deterministic audio descriptors (numpy only): duration, RMS,
+    zero-crossing rate, and AUDIO_BANDS equal-width spectral band
+    energies (normalized magnitude via rfft)."""
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 2:
+        s = s.mean(axis=1)  # downmix
+    n = len(s)
+    dur = n / float(rate) if rate else 0.0
+    rms = float(np.sqrt(np.mean(s * s))) if n else 0.0
+    zc = float(np.mean(np.signbit(s[1:]) != np.signbit(s[:-1]))) if n > 1 else 0.0
+    if n:
+        mag = np.abs(np.fft.rfft(s))
+        total = mag.sum()
+        bands = [
+            float(chunk.sum() / total) if total > 0 else 0.0
+            for chunk in np.array_split(mag, AUDIO_BANDS)
+        ]
+    else:
+        bands = [0.0] * AUDIO_BANDS
+    return {
+        "duration_s": dur,
+        "rms": rms,
+        "zcr": zc,
+        "band_energy": bands,
+    }

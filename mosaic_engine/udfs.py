@@ -361,3 +361,134 @@ def image_features(df: DataFrame, thumb: int = 16) -> DataFrame:
             )
 
     return src.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+        T.StructField("frame_phash", T.LongType()),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def video_frame_features(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Multimodal video lane: demux → sample every_n-th frame →
+    per-frame feature vector + phash, one Arrow stage over
+    (video_id, bytes, fmt) rows. A row whose container can't be demuxed
+    here (compressed codecs — imageops stubs) yields ONE row with
+    decode_ok=false instead of vanishing, so coverage is auditable.
+    Fan-out: one input row → ceil(n_frames / every_n) output rows; the
+    stage is map-only, so Spark splits batches across partitions and
+    no shuffle ever carries the video bytes."""
+    src = df.select("video_id", "bytes", "fmt")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            idxs: list = []
+            hs: list = []
+            ws: list = []
+            feats: list = []
+            phs: list = []
+            oks: list = []
+            for vid, data, fmt in zip(
+                pdf["video_id"], pdf["bytes"], pdf["fmt"]
+            ):
+                try:
+                    frames = im.sample_video_frames(data, fmt, every_n)
+                except (NotImplementedError, ValueError):
+                    ids.append(vid)
+                    idxs.append(-1)
+                    hs.append(0)
+                    ws.append(0)
+                    feats.append(None)
+                    phs.append(0)
+                    oks.append(False)
+                    continue
+                for j, fr in enumerate(frames):
+                    ids.append(vid)
+                    idxs.append(j * every_n)
+                    hs.append(fr.shape[0])
+                    ws.append(fr.shape[1])
+                    feats.append(im.image_features(fr))
+                    phs.append(im.phash64(fr))
+                    oks.append(True)
+            yield pd.DataFrame(
+                {
+                    "video_id": ids,
+                    "frame_idx": np.array(idxs, dtype=np.int32),
+                    "h": np.array(hs, dtype=np.int32),
+                    "w": np.array(ws, dtype=np.int32),
+                    "features": feats,
+                    "frame_phash": np.array(phs, dtype=np.int64),
+                    "decode_ok": np.array(oks, dtype=bool),
+                }
+            )
+
+    return src.mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType()),
+        T.StructField("rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zcr", T.DoubleType()),
+        T.StructField("band_energy", T.ArrayType(T.FloatType())),
+        T.StructField("decode_ok", T.BooleanType()),
+    ]
+)
+
+
+def audio_track_features(df: DataFrame) -> DataFrame:
+    """Multimodal audio lane: decode (real RIFF/PCM16 parser; compressed
+    codecs stubbed — imageops.decode_audio) → deterministic descriptors
+    (duration, RMS, zero-crossings, spectral band energies), one Arrow
+    stage over (audio_id, bytes, fmt) rows. Undecodable rows emit
+    decode_ok=false."""
+    src = df.select("audio_id", "bytes", "fmt")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            rates = np.zeros(n, np.int32)
+            counts = np.zeros(n, np.int32)
+            durs = np.zeros(n, np.float64)
+            rmss = np.zeros(n, np.float64)
+            zcrs = np.zeros(n, np.float64)
+            bands: list = [None] * n
+            oks = np.zeros(n, bool)
+            for i, (data, fmt) in enumerate(zip(pdf["bytes"], pdf["fmt"])):
+                try:
+                    s, rate = im.decode_audio(data, fmt)
+                except (NotImplementedError, ValueError):
+                    continue
+                feat = im.audio_features(s, rate)
+                rates[i] = rate
+                counts[i] = len(s)
+                durs[i] = feat["duration_s"]
+                rmss[i] = feat["rms"]
+                zcrs[i] = feat["zcr"]
+                bands[i] = np.asarray(feat["band_energy"], dtype=np.float32)
+                oks[i] = True
+            yield pd.DataFrame(
+                {
+                    "audio_id": pdf["audio_id"],
+                    "rate": rates,
+                    "n_samples": counts,
+                    "duration_s": durs,
+                    "rms": rmss,
+                    "zcr": zcrs,
+                    "band_energy": bands,
+                    "decode_ok": oks,
+                }
+            )
+
+    return src.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)

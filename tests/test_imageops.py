@@ -123,3 +123,102 @@ def test_datagen_deterministic():
     assert a.equals(b)
     c = datagen.gen_scenes(n_scenes=60, seed=43)
     assert not a.equals(c)
+
+
+def test_video_rawv_roundtrip_and_sampling():
+    """encode_video_rawv → sample_video_frames demuxes bit-exactly and
+    samples exactly frames [0, every_n, ...]."""
+    import numpy as np
+
+    from mosaic_engine import imageops as im
+
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, (7, 10, 12, 3), dtype=np.uint8)
+    blob = im.encode_video_rawv(frames)
+    got = im.sample_video_frames(blob, "rawv", 3)
+    assert len(got) == 3  # frames 0, 3, 6
+    for j, idx in enumerate((0, 3, 6)):
+        assert (got[j] == frames[idx]).all()
+    # every_n=1 returns all frames
+    assert len(im.sample_video_frames(blob, "rawv", 1)) == 7
+
+
+def test_wav_pcm16_roundtrip_and_features():
+    """encode_wav_pcm16 → decode_audio recovers samples to PCM16
+    quantization; audio_features are deterministic and sane for a pure
+    tone (energy concentrated in the tone's band, zcr ≈ 2f/rate)."""
+    import numpy as np
+
+    from mosaic_engine import imageops as im
+
+    rate = 8000
+    t = np.arange(rate // 2) / rate  # 0.5 s
+    sig = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    s, r = im.decode_audio(im.encode_wav_pcm16(sig, rate), "wav")
+    assert r == rate and s.dtype == np.float32
+    assert np.abs(s - sig).max() < 1.0 / 32768.0 + 1e-7
+    f = im.audio_features(s, r)
+    assert f["duration_s"] == pytest.approx(0.5)
+    assert f["rms"] == pytest.approx(0.5 / np.sqrt(2), rel=1e-3)
+    assert f["zcr"] == pytest.approx(2 * 440.0 / rate, rel=0.02)
+    # 440 Hz < nyquist/4 → all spectral mass in band 0
+    assert f["band_energy"][0] > 0.95
+    # stereo downmix path
+    st = np.stack([sig, -sig], axis=1)
+    f2 = im.audio_features(st, rate)
+    assert f2["rms"] == pytest.approx(0.0, abs=1e-6)  # cancels
+
+
+def test_video_audio_spark_lanes(spark, tmp_path):
+    """End-to-end multimodal lanes over parquet: schema, fan-out shape,
+    per-frame values vs scalar recompute, stub rows marked not dropped."""
+    import os
+
+    import numpy as np
+
+    from mosaic_engine import datagen, imageops as im, udfs
+
+    vids = datagen.gen_videos(n=10, n_frames=6, h=8, w=10, seed=7)
+    auds = datagen.gen_audio(n=12, seed=7)
+    vp = os.path.join(str(tmp_path), "videos.parquet")
+    ap = os.path.join(str(tmp_path), "audio.parquet")
+    datagen.write_parquet(vids, vp)
+    datagen.write_parquet(auds, ap)
+
+    vdf = udfs.video_frame_features(spark.read.parquet(vp), every_n=2)
+    rows = vdf.collect()
+    assert vdf.schema == udfs.VIDEO_FRAME_SCHEMA
+    by_vid = {}
+    for r in rows:
+        by_vid.setdefault(r["video_id"], []).append(r)
+    src = {r["video_id"]: r for r in spark.read.parquet(vp).collect()}
+    for vid, rs in by_vid.items():
+        if src[vid]["fmt"] != "rawv":
+            assert len(rs) == 1 and not rs[0]["decode_ok"]
+            continue
+        assert sorted(r["frame_idx"] for r in rs) == [0, 2, 4]
+        # recompute one frame's features scalar-side
+        frames = im.sample_video_frames(src[vid]["bytes"], "rawv", 2)
+        r0 = min(rs, key=lambda r: r["frame_idx"])
+        assert r0["frame_phash"] == im.phash64(frames[0])
+        exp = im.image_features(frames[0])
+        assert np.allclose(np.array(r0["features"], np.float32), exp)
+
+    adf = udfs.audio_track_features(spark.read.parquet(ap))
+    arows = {r["audio_id"]: r for r in adf.collect()}
+    assert adf.schema == udfs.AUDIO_FEATURES_SCHEMA
+    asrc = {r["audio_id"]: r for r in spark.read.parquet(ap).collect()}
+    assert set(arows) == set(asrc)  # nothing dropped
+    for aid, r in arows.items():
+        if asrc[aid]["fmt"] != "wav":
+            assert not r["decode_ok"]
+            continue
+        assert r["decode_ok"] and r["rate"] == asrc[aid]["rate"]
+        s, rate = im.decode_audio(asrc[aid]["bytes"], "wav")
+        f = im.audio_features(s, rate)
+        assert r["rms"] == pytest.approx(f["rms"], rel=1e-12)
+        assert r["duration_s"] == pytest.approx(f["duration_s"])
+        assert np.allclose(
+            np.array(r["band_energy"], np.float32),
+            np.array(f["band_energy"], np.float32),
+        )

@@ -214,9 +214,15 @@ def test_resize_and_features_kernels():
     assert (im.resize_block_mean(const, 40, 40) == 77).all()
     f = im.image_features(px)
     assert f.shape == (14,) and f.dtype == np.float32
+    # compressed containers stay stubbed (no codec libs in sandbox)...
     with pytest.raises(NotImplementedError):
         im.sample_video_frames(b"xx", "mp4", 5)
     with pytest.raises(NotImplementedError):
+        im.decode_audio(b"xx", "mp3")
+    # ...while corrupt payloads of the REAL formats fail loudly
+    with pytest.raises(ValueError):
+        im.sample_video_frames(b"xx", "rawv", 5)
+    with pytest.raises(ValueError):
         im.decode_audio(b"xx", "wav")
 
 
