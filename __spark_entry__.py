@@ -1280,21 +1280,29 @@ Z_MOSAIC = 6
 _FIXTURE_CACHE: dict[str, str] = {}
 
 
-def _engine_scenes(spark):
-    """Deterministic synthetic scenes parquet (cached per process)."""
+def _fixture(spark, name, gen):
+    """Deterministic synthetic payload parquet (cached per process).
+    `gen` receives the datagen module and returns a pyarrow table."""
     _ship_package(spark)
-    if "scenes" not in _FIXTURE_CACHE:
+    if name not in _FIXTURE_CACHE:
         import tempfile
 
         from mosaic_engine import datagen
 
         d = tempfile.mkdtemp(prefix="entry_fixtures_")
-        datagen.write_parquet(
-            datagen.gen_scenes(n_scenes=150, paths=6, rows=6, seed=42),
-            os.path.join(d, "scenes.parquet"),
-        )
-        _FIXTURE_CACHE["scenes"] = os.path.join(d, "scenes.parquet")
-    return spark.read.parquet(_FIXTURE_CACHE["scenes"])
+        p = os.path.join(d, f"{name}.parquet")
+        datagen.write_parquet(gen(datagen), p)
+        _FIXTURE_CACHE[name] = p
+    return spark.read.parquet(_FIXTURE_CACHE[name])
+
+
+def _engine_scenes(spark):
+    """Deterministic synthetic scenes parquet (cached per process)."""
+    return _fixture(
+        spark,
+        "scenes",
+        lambda dg: dg.gen_scenes(n_scenes=150, paths=6, rows=6, seed=42),
+    )
 
 
 def _part_scenes(spark, sf_dir):
@@ -1520,28 +1528,13 @@ def q_multimodal_image_check(spark, sf_dir):
     )
 
 
-def _multimodal_fixture(spark, name, gen):
-    """Deterministic multimodal payload parquet (cached per process)."""
-    _ship_package(spark)
-    if name not in _FIXTURE_CACHE:
-        import tempfile
-
-        from mosaic_engine import datagen
-
-        d = tempfile.mkdtemp(prefix="entry_fixtures_")
-        p = os.path.join(d, f"{name}.parquet")
-        datagen.write_parquet(gen(datagen), p)
-        _FIXTURE_CACHE[name] = p
-    return spark.read.parquet(_FIXTURE_CACHE[name])
-
-
 def q_multimodal_video_frames(spark, sf_dir):
     """Video lane: demux ('rawv' real; compressed codecs stubbed) →
     frame-sample → per-frame features + phash (rows-only: binary
     demux/pixel ops not in SQL; the pytest suite verifies values)."""
     from mosaic_engine import udfs
 
-    vids = _multimodal_fixture(
+    vids = _fixture(
         spark, "videos", lambda dg: dg.gen_videos(n=24, seed=42)
     )
     return udfs.video_frame_features(vids, every_n=3).select(
@@ -1555,7 +1548,7 @@ def q_multimodal_audio_features(spark, sf_dir):
     from mosaic_engine import udfs
     from pyspark.sql import functions as F
 
-    auds = _multimodal_fixture(
+    auds = _fixture(
         spark, "audio", lambda dg: dg.gen_audio(n=32, seed=42)
     )
     return udfs.audio_track_features(auds).select(

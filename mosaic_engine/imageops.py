@@ -262,8 +262,10 @@ def encode_video_rawv(frames: np.ndarray) -> bytes:
     sandbox's stand-in for a video payload (no ffmpeg — SURVEY.md §0);
     the Spark lane's schema/batching is codec-agnostic."""
     frames = np.ascontiguousarray(frames, dtype=np.uint8)
-    if frames.ndim != 4 or frames.shape[3] != 3:
-        raise ValueError(f"expected (n, h, w, 3) uint8, got {frames.shape}")
+    if frames.ndim != 4 or frames.shape[3] != 3 or frames.shape[0] == 0:
+        raise ValueError(
+            f"expected nonempty (n, h, w, 3) uint8, got {frames.shape}"
+        )
     n, h, w = frames.shape[:3]
     return RAWV_MAGIC + struct.pack(">III", n, h, w) + frames.tobytes()
 
@@ -282,6 +284,11 @@ def sample_video_frames(
         if bytes(data[:4]) != RAWV_MAGIC or len(data) < 16:
             raise ValueError("corrupt rawv payload (bad magic/header)")
         n, h, w = struct.unpack(">III", bytes(data[4:16]))
+        if n == 0:
+            # the encoder refuses empty frame stacks, so a zero-frame
+            # container is corrupt — raising (instead of returning [])
+            # keeps the Spark lane's no-silent-drop sentinel contract
+            raise ValueError("corrupt rawv payload (zero frames)")
         need = n * h * w * 3
         if len(data) < 16 + need:
             raise ValueError("corrupt rawv payload (truncated frames)")
@@ -336,7 +343,15 @@ def decode_audio(data: bytes, fmt: str) -> tuple[np.ndarray, int]:
             tag = b[pos:pos + 4]
             size = struct.unpack("<I", b[pos + 4:pos + 8])[0]
             chunk = b[pos + 8:pos + 8 + size]
+            if len(chunk) < size:
+                # declared size runs past the payload — corrupt, never
+                # silently truncate (mirrors rawv's 'truncated frames')
+                raise ValueError(
+                    f"corrupt wav payload (truncated {tag!r} chunk)"
+                )
             if tag == b"fmt ":
+                if size < 16:
+                    raise ValueError("corrupt wav payload (short fmt chunk)")
                 codec, channels, rate = struct.unpack("<HHI", chunk[:8])
                 bits = struct.unpack("<H", chunk[14:16])[0]
                 if codec != 1 or bits != 16:
@@ -344,6 +359,10 @@ def decode_audio(data: bytes, fmt: str) -> tuple[np.ndarray, int]:
                         f"wav codec={codec} bits={bits}: only PCM16 is "
                         "implemented in this build"
                     )
+                if not 0 < rate <= 2**31 - 1:
+                    # header fields are untrusted input: an absurd
+                    # uint32 rate must not wrap an int32 downstream
+                    raise ValueError(f"corrupt wav payload (rate={rate})")
             elif tag == b"data":
                 body = chunk
             pos += 8 + size + (size & 1)  # chunks are word-aligned

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import struct
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -385,6 +387,9 @@ def video_frame_features(df: DataFrame, every_n: int = 2) -> DataFrame:
     Fan-out: one input row → ceil(n_frames / every_n) output rows; the
     stage is map-only, so Spark splits batches across partitions and
     no shuffle ever carries the video bytes."""
+    # clamp ONCE at the lane level so frame_idx labeling (j * every_n)
+    # can never disagree with the demuxer's own sampling step
+    every_n = max(int(every_n), 1)
     src = df.select("video_id", "bytes", "fmt")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -401,7 +406,7 @@ def video_frame_features(df: DataFrame, every_n: int = 2) -> DataFrame:
             ):
                 try:
                     frames = im.sample_video_frames(data, fmt, every_n)
-                except (NotImplementedError, ValueError):
+                except (NotImplementedError, ValueError, struct.error):
                     ids.append(vid)
                     idxs.append(-1)
                     hs.append(0)
@@ -468,7 +473,10 @@ def audio_track_features(df: DataFrame) -> DataFrame:
             for i, (data, fmt) in enumerate(zip(pdf["bytes"], pdf["fmt"])):
                 try:
                     s, rate = im.decode_audio(data, fmt)
-                except (NotImplementedError, ValueError):
+                except (NotImplementedError, ValueError, struct.error):
+                    # struct.error: defense in depth — decode_audio
+                    # validates chunk sizes, but an untrusted payload
+                    # must never kill the whole Spark stage
                     continue
                 feat = im.audio_features(s, rate)
                 rates[i] = rate

@@ -222,3 +222,51 @@ def test_video_audio_spark_lanes(spark, tmp_path):
             np.array(r["band_energy"], np.float32),
             np.array(f["band_energy"], np.float32),
         )
+
+
+def test_wav_and_rawv_corrupt_payloads_raise_valueerror():
+    """Untrusted-payload hardening: truncated chunks, short fmt, absurd
+    rate, zero-frame container — all ValueError (never struct.error or
+    a silent truncated decode), so the Spark lanes' sentinel path
+    catches them."""
+    import struct
+
+    from mosaic_engine import imageops as im
+
+    # truncated fmt chunk (valid RIFF/WAVE header)
+    bad_fmt = (b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+               + b"fmt " + struct.pack("<I", 16) + b"\x00" * 4)
+    with pytest.raises(ValueError):
+        im.decode_audio(bad_fmt, "wav")
+    # data chunk declaring more bytes than present
+    good = im.encode_wav_pcm16(np.zeros(100), 8000)
+    truncated = good[:-50]
+    with pytest.raises(ValueError):
+        im.decode_audio(truncated, "wav")
+    # absurd uint32 rate in the header
+    crazy = bytearray(im.encode_wav_pcm16(np.zeros(10), 8000))
+    crazy[24:28] = struct.pack("<I", 2**31 + 5)
+    with pytest.raises(ValueError):
+        im.decode_audio(bytes(crazy), "wav")
+    # zero-frame rawv container (encoder refuses; demux flags corrupt)
+    with pytest.raises(ValueError):
+        im.encode_video_rawv(np.zeros((0, 2, 2, 3), np.uint8))
+    zero = im.RAWV_MAGIC + struct.pack(">III", 0, 2, 2)
+    with pytest.raises(ValueError):
+        im.sample_video_frames(zero, "rawv", 1)
+
+
+def test_video_lane_every_n_clamped(spark, tmp_path):
+    """every_n <= 0 must behave as 1 with consistent frame_idx labels
+    (the clamp lives at the lane level, not just in the demuxer)."""
+    import os
+
+    from mosaic_engine import datagen, udfs
+
+    vids = datagen.gen_videos(n=4, n_frames=3, h=4, w=4, seed=3)
+    p = os.path.join(str(tmp_path), "v.parquet")
+    datagen.write_parquet(vids, p)
+    out = udfs.video_frame_features(spark.read.parquet(p), every_n=0)
+    for r in out.collect():
+        if r["decode_ok"]:
+            assert r["frame_idx"] in (0, 1, 2)
