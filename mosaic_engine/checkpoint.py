@@ -93,6 +93,22 @@ def build_with_checkpoint(
             ):
                 done.add(pfx)
 
+    # evict STALE state before writing: dynamic partition overwrite only
+    # replaces partitions present in the NEW data, so a partition left
+    # by a previous run under a different config/input — one the current
+    # build produces no rows for — would silently survive into the
+    # rebuilt mosaic and then be re-manifested under the new lineage.
+    # Anything on disk that is not a verified `done` prefix is dead.
+    import shutil
+
+    if os.path.isdir(data_dir):
+        for d in os.listdir(data_dir):
+            if d.startswith("qk_prefix=") and d.split("=", 1)[1] not in done:
+                shutil.rmtree(os.path.join(data_dir, d))
+    for fn in os.listdir(_manifest_dir(out_dir)):
+        if fn.endswith(".json") and fn[: -len(".json")] not in done:
+            os.remove(os.path.join(_manifest_dir(out_dir), fn))
+
     assign = mz.quadkey_assignments(scenes, cfg).withColumn(
         "qk_prefix", F.substring("quadkey", 1, PREFIX_LEN)
     )
@@ -101,68 +117,85 @@ def build_with_checkpoint(
         todo = assign.filter(~F.col("qk_prefix").isin(sorted(done)))
 
     t0 = time.time()
+    # session confs are global: save/restore so this builder can't
+    # silently turn every LATER overwrite in the session dynamic (which
+    # stops truncating tables) or string-type later partition reads
+    prev_conf = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.sources.partitionOverwriteMode",
+            "spark.sql.sources.partitionColumnTypeInference.enabled",
+        )
+    }
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     # keep qk_prefix a STRING on re-read ("01" must not become int 1)
     spark.conf.set(
         "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
     )
-    # range-cluster output files by quadkey so each prefix dir holds
-    # sorted, spatially-local runs (checkpointable ranges, SURVEY §4.3.4)
-    (
-        todo.repartitionByRange(cfg.salt_buckets, "quadkey")
-        .sortWithinPartitions("quadkey")
-        .write.mode("overwrite")
-        .partitionBy("qk_prefix")
-        .parquet(data_dir)
-    )
-    wall = time.time() - t0
-
-    # per-prefix manifests for everything now present
-    result = spark.read.parquet(data_dir)
-    counts = {
-        r["qk_prefix"]: (r["n"], r["n_rows"])
-        for r in result.groupBy("qk_prefix")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum("n_assets").alias("n_rows"),
+    try:
+        # range-cluster output files by quadkey so each prefix dir holds
+        # sorted, spatially-local runs (checkpointable ranges, §4.3.4)
+        (
+            todo.repartitionByRange(cfg.salt_buckets, "quadkey")
+            .sortWithinPartitions("quadkey")
+            .write.mode("overwrite")
+            .partitionBy("qk_prefix")
+            .parquet(data_dir)
         )
-        .collect()
-    }
-    for pfx, (n_tiles, n_rows) in counts.items():
-        if pfx in done:
-            continue
-        manifest = {
-            "qk_prefix": pfx,
+        wall = time.time() - t0
+
+        # per-prefix manifests for everything now present
+        result = spark.read.parquet(data_dir)
+        counts = {
+            r["qk_prefix"]: (r["n"], r["n_rows"])
+            for r in result.groupBy("qk_prefix")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("n_assets").alias("n_rows"),
+            )
+            .collect()
+        }
+        for pfx, (n_tiles, n_rows) in counts.items():
+            if pfx in done:
+                continue
+            manifest = {
+                "qk_prefix": pfx,
+                "config_hash": cfg_hash,
+                "input_hash": in_hash,
+                "n_tiles": int(n_tiles),
+                "n_assignments": int(n_rows),
+                "wall_sec": wall,
+                "written_at": time.time(),
+            }
+            tmp = os.path.join(_manifest_dir(out_dir), f".{pfx}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(manifest, f)
+            os.replace(tmp, os.path.join(_manifest_dir(out_dir), f"{pfx}.json"))
+
+        # assemble the document from the checkpointed table (not a recompute)
+        filtered = ops.filter_scenes(scenes, cfg)
+        bounds = ops.mosaic_bounds(filtered, result)
+        rows = result.select("quadkey", "assets").collect()
+        tiles_map = {r["quadkey"]: list(r["assets"]) for r in rows}
+        doc = mz.assemble_mosaic_doc(tiles_map, bounds, cfg)
+
+        with open(os.path.join(out_dir, "mosaic.json"), "w") as f:
+            f.write(mz.canonical_json(doc))
+        metrics = {
+            "n_tiles": len(tiles_map),
+            "n_assignments": int(sum(len(v) for v in tiles_map.values())),
+            "n_prefixes": len(counts),
+            "n_prefixes_skipped": len(done),
             "config_hash": cfg_hash,
             "input_hash": in_hash,
-            "n_tiles": int(n_tiles),
-            "n_assignments": int(n_rows),
-            "wall_sec": wall,
-            "written_at": time.time(),
+            "write_wall_sec": wall,
         }
-        tmp = os.path.join(_manifest_dir(out_dir), f".{pfx}.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, os.path.join(_manifest_dir(out_dir), f"{pfx}.json"))
-
-    # assemble the document from the checkpointed table (not a recompute)
-    filtered = ops.filter_scenes(scenes, cfg)
-    bounds = ops.mosaic_bounds(filtered, result)
-    rows = result.select("quadkey", "assets").collect()
-    tiles_map = {r["quadkey"]: list(r["assets"]) for r in rows}
-    doc = mz.assemble_mosaic_doc(tiles_map, bounds, cfg)
-
-    with open(os.path.join(out_dir, "mosaic.json"), "w") as f:
-        f.write(mz.canonical_json(doc))
-    metrics = {
-        "n_tiles": len(tiles_map),
-        "n_assignments": int(sum(len(v) for v in tiles_map.values())),
-        "n_prefixes": len(counts),
-        "n_prefixes_skipped": len(done),
-        "config_hash": cfg_hash,
-        "input_hash": in_hash,
-        "write_wall_sec": wall,
-    }
-    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
-        json.dump(metrics, f, indent=2)
-    return doc, metrics
+        with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=2)
+        return doc, metrics
+    finally:
+        for k, v in prev_conf.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

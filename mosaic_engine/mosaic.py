@@ -18,8 +18,7 @@ from pyspark.sql import DataFrame
 
 from . import ops, udfs
 from .ops import MosaicConfig
-
-EXPLODE_PASSTHROUGH = ["image_id", "path", "row", "acquisition_date", "cloud_cover"]
+from .udfs import EXPLODE_PASSTHROUGH  # re-export (canonical def: udfs)
 
 
 def quadkey_assignments(scenes: DataFrame, cfg: MosaicConfig) -> DataFrame:
@@ -129,6 +128,13 @@ def validate_mosaic(doc: dict) -> list[str]:
         errs.append("minzoom/maxzoom out of order or range")
     if not (doc["minzoom"] <= doc["quadkey_zoom"] <= doc["maxzoom"]):
         errs.append("quadkey_zoom outside [minzoom, maxzoom]")
+    # a validator must REPORT malformed shapes, never crash on them
+    if len(doc["bounds"]) != 4:
+        errs.append(f"bounds must have 4 values, got {len(doc['bounds'])}")
+        return errs
+    if len(doc["center"]) != 3:
+        errs.append(f"center must have 3 values, got {len(doc['center'])}")
+        return errs
     w, s, e, n = doc["bounds"]
     if not (-180 <= w <= e <= 180 and -90 <= s <= n <= 90):
         errs.append(f"invalid bounds {doc['bounds']}")

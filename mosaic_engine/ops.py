@@ -165,6 +165,10 @@ def assignments(tiles: DataFrame, cfg: MosaicConfig) -> DataFrame:
     (quadkey, assets array<string>, n_assets int).
     """
     cap = cfg.max_assets_per_tile
+    if cap is not None and cap < 1:
+        raise ValueError(
+            f"max_assets_per_tile must be >= 1 or None (got {cap})"
+        )
     if cfg.optimized_selection:
         keyed = optimized_dedupe(tiles, cfg)
     else:
@@ -173,12 +177,14 @@ def assignments(tiles: DataFrame, cfg: MosaicConfig) -> DataFrame:
         "salt", F.pmod(F.xxhash64(F.col("sel.image_id")), F.lit(cfg.salt_buckets))
     )
     part = F.sort_array(F.collect_list("sel"))
-    part = (F.slice(part, 1, cap) if cap else part).alias("part")
+    # `is not None`, never truthiness: a (rejected-above) cap of 0 must
+    # not silently flip to "unlimited"
+    part = (F.slice(part, 1, cap) if cap is not None else part).alias("part")
     phase1 = salted.groupBy("cell", "salt").agg(part)
     merged = phase1.groupBy("cell").agg(
         F.sort_array(F.flatten(F.collect_list("part"))).alias("sels")
     )
-    sels = F.slice("sels", 1, cap) if cap else F.col("sels")
+    sels = F.slice("sels", 1, cap) if cap is not None else F.col("sels")
     u = udfs.make_scalar_udfs()
     # quadkey strings only materialize here — bounded by 4^quadkey_zoom
     return merged.select(
@@ -314,6 +320,24 @@ def _cell_rect_cols(key: str, zoom: int) -> list[Column]:
     ]
 
 
+def _scene_centroids(scenes: DataFrame) -> DataFrame:
+    """Footprint centroids honoring the antimeridian convention
+    (min_lon > max_lon = crossing scene, as produced by datagen and
+    handled by filter_scenes): the naive midpoint of a crossing scene
+    lands ~180° away from the true center, so rotate it by 180° and
+    wrap into [-180, 180)."""
+    raw = (F.col("min_lon") + F.col("max_lon")) / 2
+    slon = F.when(
+        F.col("min_lon") > F.col("max_lon"),
+        F.pmod(raw + 360.0, F.lit(360.0)) - 180.0,
+    ).otherwise(raw)
+    return scenes.select(
+        "image_id",
+        slon.alias("slon"),
+        ((F.col("min_lat") + F.col("max_lat")) / 2).alias("slat"),
+    )
+
+
 def knn_index(
     scenes: DataFrame, level: int | None = None, k_hint: int = 8
 ) -> KnnIndex:
@@ -325,11 +349,7 @@ def knn_index(
     table. Key = (x<<30)|y."""
     if level is None:
         level = knn_pick_level(scenes.count(), k_hint)
-    cent = scenes.select(
-        "image_id",
-        ((F.col("min_lon") + F.col("max_lon")) / 2).alias("slon"),
-        ((F.col("min_lat") + F.col("max_lat")) / 2).alias("slat"),
-    )
+    cent = _scene_centroids(scenes)
     sx, sy = _tile_xy_cols(F.col("slon"), F.col("slat"), level)
     sc = cent.withColumn("cell", F.shiftleft(sx, 30) + sy)
     stats = (
@@ -565,11 +585,7 @@ def knn_bruteforce(
 ) -> DataFrame:
     """Exact kNN oracle path: broadcast cross join + sorted-struct top-k."""
     u = udfs.make_scalar_udfs()
-    cent = scenes.select(
-        "image_id",
-        ((F.col("min_lon") + F.col("max_lon")) / 2).alias("slon"),
-        ((F.col("min_lat") + F.col("max_lat")) / 2).alias("slat"),
-    )
+    cent = _scene_centroids(scenes)
     # element_at/slice ordinals must be INT (queries may carry k as long)
     kcol = (F.lit(k) if k is not None else F.col("k")).cast("int")
     scored = cent.crossJoin(F.broadcast(queries)).withColumn(
@@ -632,12 +648,18 @@ def mosaic_stats(assign: DataFrame) -> DataFrame:
     )
 
 
-def mosaic_rollup(tiles: DataFrame) -> DataFrame:
+def mosaic_rollup(tiles: DataFrame, levels: int = 4) -> DataFrame:
     """A8: per-zoom-prefix rollup metrics (grouping sets on the packed
-    cell's parents) — per-region tile/scene counts for reporting."""
-    lv1 = tiles.select(
-        F.shiftleft(F.shiftright("cell", 8), 8).alias("cell_r4"), "image_id"
-    )
+    cell's parents) — per-region tile/scene counts for reporting.
+
+    The region key is a VALID packed parent cell (the Spark-column twin
+    of cells.cell_parent: drop `levels` morton pairs, decrement the
+    level field), so it decodes back to a region/quadkey downstream."""
+    lvl = F.col("cell").bitwiseAND(F.lit(63))
+    parent = F.shiftleft(
+        F.shiftright("cell", 6 + 2 * levels), 6
+    ) + (lvl - levels)
+    lv1 = tiles.select(parent.alias("cell_r4"), "image_id")
     return lv1.rollup("cell_r4").agg(
         F.count("*").alias("n_rows"),
         F.countDistinct("image_id").alias("n_scenes"),

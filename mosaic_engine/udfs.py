@@ -26,6 +26,10 @@ from . import geometry as geo
 from . import imageops as im
 from . import tilemath as tm
 
+# the default scene columns carried through the fused explode — the ONE
+# definition (mosaic.py re-exports it)
+EXPLODE_PASSTHROUGH = ["image_id", "path", "row", "acquisition_date", "cloud_cover"]
+
 EXPLODE_GEOM_COLS = [
     "min_lon",
     "min_lat",
@@ -112,7 +116,7 @@ def explode_to_quadkeys(
     the Python boundary is manual — Catalyst prunes the scan for us).
     """
     if passthrough is None:
-        passthrough = ["image_id", "path", "row", "acquisition_date", "cloud_cover"]
+        passthrough = list(EXPLODE_PASSTHROUGH)
     in_cols = list(dict.fromkeys(passthrough + EXPLODE_GEOM_COLS))
     src = df.select(*in_cols)
     fields = [src.schema[c] for c in passthrough]
@@ -131,14 +135,23 @@ def ring_to_quadkeys(
     df: DataFrame, zoom: int, id_col: str, xs_col: str = "xs", ys_col: str = "ys"
 ) -> DataFrame:
     """Generic polygon table → (id_col, quadkey) at `zoom` (land masks,
-    vector tiles). Same fused kernel; bbox derived from the ring."""
+    vector tiles). Same fused kernel; bbox derived from the ring.
+
+    Antimeridian: rings that cross must be unwrapped EASTWARD (x values
+    continue past 180, e.g. [170..190] — the same convention datagen
+    uses for scene footprints); the bbox is then rotated into the
+    min_lon > max_lon crossing form the kernel splits. A naive
+    array_min/array_max bbox would clamp at 180 and silently drop all
+    coverage beyond the antimeridian. Rings with x < -180 raise (unwrap
+    them eastward, or split at the antimeridian per RFC 7946 §3.1.9)."""
+    mx = F.array_max(xs_col)
     src = df.select(
         F.col(id_col),
         F.col(xs_col).alias("fp_xs"),
         F.col(ys_col).alias("fp_ys"),
         F.array_min(xs_col).alias("min_lon"),
         F.array_min(ys_col).alias("min_lat"),
-        F.array_max(xs_col).alias("max_lon"),
+        F.when(mx > 180.0, mx - 360.0).otherwise(mx).alias("max_lon"),
         F.array_max(ys_col).alias("max_lat"),
     )
     out_schema = T.StructType(
@@ -147,6 +160,14 @@ def ring_to_quadkeys(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if len(pdf) and (
+                pdf["min_lon"].to_numpy(np.float64) < -180.0
+            ).any():
+                raise ValueError(
+                    "ring_to_quadkeys: ring longitude < -180 — unwrap "
+                    "antimeridian-crossing rings EASTWARD (x in "
+                    "(180, 360)) or split them per RFC 7946 §3.1.9"
+                )
             yield _explode_batch(pdf, zoom, [id_col], exact=True)
 
     return src.mapInPandas(run, schema=out_schema)
@@ -228,11 +249,16 @@ def quadkey_bounds(df: DataFrame, quadkey_col: str = "quadkey") -> DataFrame:
         for pdf in batches:
             qk = pdf[quadkey_col].to_numpy(object)
             xs, ys, zs = tm.quadkey_to_tile(qk)
-            if len(qk):
-                z = int(zs[0])
-                w, s, e, n = tm.tile_bounds(xs, ys, z)
-            else:
-                w = s = e = n = np.empty(0)
+            n_rows = len(qk)
+            w = np.empty(n_rows)
+            s = np.empty(n_rows)
+            e = np.empty(n_rows)
+            n = np.empty(n_rows)
+            # bounds depend on zoom = quadkey LENGTH, which may vary
+            # within one batch (mixed-zoom tables) — group per zoom
+            for z in np.unique(zs) if n_rows else ():
+                m = zs == z
+                w[m], s[m], e[m], n[m] = tm.tile_bounds(xs[m], ys[m], int(z))
             out = pdf.copy()
             out["tile_w"], out["tile_s"], out["tile_e"], out["tile_n"] = w, s, e, n
             yield out
@@ -296,12 +322,19 @@ def image_invariants(df: DataFrame) -> DataFrame:
                     ok[i] = True
                     psnr[i] = im.psnr_db(px, re)
                     ph[i] = im.phash64(px)
-                    phm[i] = ph[i] == int(pdf["phash"].iloc[i])
+                    # a null stored phash is a metadata mismatch, not a
+                    # decode failure — decode_ok stays true
+                    pv = pdf["phash"].iloc[i]
+                    phm[i] = pv is not None and not pd.isna(pv) and ph[
+                        i
+                    ] == int(pv)
                 except Exception:
                     ok[i] = False
+            # null caption/image_id = failed invariant, never a stage
+            # kill (untrusted metadata must not abort the job)
             cap = np.fromiter(
                 (
-                    iid in c
+                    iid is not None and c is not None and iid in c
                     for iid, c in zip(pdf["image_id"], pdf["caption"])
                 ),
                 dtype=bool,

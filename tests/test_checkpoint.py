@@ -91,3 +91,37 @@ def test_input_change_invalidates(spark, scenes_df, tmp_path, fixture_dir):
     _, m2 = checkpoint.build_with_checkpoint(spark, df2, cfg, out, resume=True)
     assert m2["input_hash"] != m1["input_hash"]
     assert m2["n_prefixes_skipped"] == 0
+
+
+def test_config_change_evicts_stale_partitions(spark, scenes_df, tmp_path):
+    """(review r3) Resuming after a config change that ELIMINATES some
+    prefixes must not let their old partitions leak into the rebuilt
+    mosaic (dynamic overwrite alone would leave them on disk and the
+    manifest loop would bless them under the new lineage)."""
+    out = str(tmp_path / "ckpt_stale")
+    doc_loose, m_loose = _build(spark, scenes_df, out)
+    assert m_loose["n_prefixes"] > 1
+    # tighter bounds → strictly fewer prefixes than the loose build
+    tight = dict(bounds=(-124.0, 30.0, -116.0, 38.0), max_cloud=60.0)
+    fresh_out = str(tmp_path / "ckpt_fresh")
+    doc_fresh, m_fresh = _build(spark, scenes_df, fresh_out, **tight)
+    assert m_fresh["n_prefixes"] < m_loose["n_prefixes"]
+    # resume over the loose build's work dir with the tight config
+    doc_resumed, m_resumed = _build(spark, scenes_df, out, resume=True, **tight)
+    assert mz.canonical_json(doc_resumed) == mz.canonical_json(doc_fresh)
+    # no stale partition dirs or manifests survive
+    parts = {d.split("=", 1)[1]
+             for d in os.listdir(os.path.join(out, "assignments"))
+             if d.startswith("qk_prefix=")}
+    assert parts == set(checkpoint.read_manifests(out))
+    assert len(parts) == m_fresh["n_prefixes"]
+
+
+def test_builder_restores_session_confs(spark, scenes_df, tmp_path):
+    """(review r3) build_with_checkpoint must not leave the session in
+    dynamic-partition-overwrite / no-type-inference mode."""
+    k1 = "spark.sql.sources.partitionOverwriteMode"
+    k2 = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    before = (spark.conf.get(k1), spark.conf.get(k2))
+    _build(spark, scenes_df, str(tmp_path / "ckpt_conf"))
+    assert (spark.conf.get(k1), spark.conf.get(k2)) == before

@@ -12,12 +12,21 @@ from mosaic_engine import cells, ops
 from tests import oracle
 
 
+def _oracle_centroid_lon(min_lon, max_lon):
+    """Footprint centroid lon honoring the crossing convention
+    (min_lon > max_lon): rotate the naive midpoint by 180° and wrap."""
+    raw = (min_lon + max_lon) / 2
+    if min_lon > max_lon:
+        return ((raw + 360.0) % 360.0) - 180.0
+    return raw
+
+
 def _oracle_knn(scene_records, query_recs):
     """Scalar brute-force top-k with (dist, image_id) tiebreak."""
     cents = [
         (
             r["image_id"],
-            (r["min_lon"] + r["max_lon"]) / 2,
+            _oracle_centroid_lon(r["min_lon"], r["max_lon"]),
             (r["min_lat"] + r["max_lat"]) / 2,
         )
         for r in scene_records
@@ -282,3 +291,31 @@ def test_knn_index_reuse_matches_brute(spark, scenes_df):
         got = sorted(map(tuple, ops.knn_join(None, q, index=idx).collect()))
         exp = sorted(map(tuple, ops.knn_bruteforce(scenes_df, q).collect()))
         assert [g[:3] for g in got] == [e[:3] for e in exp]
+
+
+def test_knn_crossing_scene_centroid_is_wrapped(spark):
+    """(review r3) A scene spanning the antimeridian (min_lon > max_lon,
+    the datagen convention) has its centroid at ±180, NOT at lon 0 —
+    both the banded path and the brute-force oracle must return it as
+    the nearest scene for a probe at lon 179."""
+    from pyspark.sql import Row
+
+    scenes = spark.createDataFrame(
+        [
+            # spans [170, 190] unwrapped → stored min_lon=170, max_lon=-170
+            Row(image_id="XING", min_lon=170.0, max_lon=-170.0,
+                min_lat=-1.0, max_lat=1.0),
+            # decoy exactly where the naive midpoint of XING would land
+            Row(image_id="DECOY", min_lon=-1.0, max_lon=1.0,
+                min_lat=-1.0, max_lat=1.0),
+        ]
+    )
+    queries = spark.createDataFrame([Row(query_id=0, lon=179.0, lat=0.0, k=1)])
+    brute = ops.knn_bruteforce(scenes, queries).collect()
+    assert brute[0]["image_id"] == "XING"
+    # centroid at ±180 → probe at 179 is ~111 km away (1° of equator)
+    assert brute[0]["dist_m"] == pytest.approx(111195.0, rel=1e-2)
+    for level in (4, 7):
+        got = ops.knn_join(scenes, queries, level=level).collect()
+        assert got[0]["image_id"] == "XING"
+        assert got[0]["dist_m"] == pytest.approx(brute[0]["dist_m"], rel=1e-12)

@@ -192,6 +192,18 @@ def test_mosaic_stats_and_rollup(spark, scenes_df):
     roll = ops.mosaic_rollup(tiles).collect()
     total = [r for r in roll if r["cell_r4"] is None]
     assert len(total) == 1 and total[0]["n_rows"] == tiles.count()
+    # (review r3) the region key is a VALID packed parent cell: it
+    # decodes to level 3 (= 7 - 4) and matches cells.cell_parent
+    from mosaic_engine import cells as cl
+
+    keys = np.array(
+        [r["cell_r4"] for r in roll if r["cell_r4"] is not None], np.int64
+    )
+    xs, ys, lv = cl.unpack_cell(keys)
+    assert (lv == 3).all()
+    some = np.array([r["cell"] for r in tiles.limit(50).collect()], np.int64)
+    exp_parents = set(cl.cell_parent(some, 4).tolist())
+    assert exp_parents <= set(keys.tolist())
 
 
 def test_image_features_lane(spark, scenes_df):
@@ -476,3 +488,68 @@ def test_iceberg_path_e2e_or_documented_failure(spark, tmp_path):
     assert "IcebergSparkSessionExtensions" in msg
     with pytest.raises(RuntimeError, match="classpath"):
         catalog.write_table(df, "db.t", fmt="iceberg")
+
+
+def test_ring_to_quadkeys_antimeridian_crossing(spark):
+    """(review r3) A land ring unwrapped eastward across the
+    antimeridian ([170..190]) must emit quadkeys on BOTH sides; rings
+    unwrapped westward (< -180) are rejected loudly."""
+    from pyspark.sql import Row
+
+    from mosaic_engine import cells as cl
+    from mosaic_engine import tilemath as tm
+
+    ring = Row(
+        land_id=1,
+        xs=[170.0, 190.0, 190.0, 170.0],
+        ys=[-5.0, -5.0, 5.0, 5.0],
+    )
+    out = udfs.ring_to_quadkeys(spark.createDataFrame([ring]), 4, "land_id")
+    cells_got = [r["cell"] for r in out.collect()]
+    xs, ys, lv = cl.unpack_cell(np.array(cells_got, np.int64))
+    lons = tm.tile_bounds(xs, ys, 4)[0]  # west edges of covered tiles
+    assert (lons >= 157.4).sum() > 0, "east-of-170 coverage missing"
+    assert (lons <= -180.0 + 1e-9).sum() > 0, "west-of-antimeridian missing"
+    # and the exact scalar oracle agrees on the full quadkey set
+    from tests import oracle
+
+    scene = {"min_lon": 170.0, "max_lon": -170.0, "min_lat": -5.0,
+             "max_lat": 5.0, "fp_xs": ring.xs, "fp_ys": ring.ys}
+    exp = oracle.scene_quadkeys(scene, 4)
+    got_qk = set(tm.tile_to_quadkey(xs, ys, 4))
+    assert got_qk == exp
+
+    bad = Row(land_id=2, xs=[-190.0, -170.0, -170.0, -190.0],
+              ys=[-5.0, -5.0, 5.0, 5.0])
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="unwrap|RFC"):
+        udfs.ring_to_quadkeys(
+            spark.createDataFrame([bad]), 4, "land_id"
+        ).collect()
+
+
+def test_validate_mosaic_reports_malformed_shapes():
+    """(review r3) the validator reports, never crashes."""
+    doc = {
+        "mosaicjson": "0.0.2", "minzoom": 7, "maxzoom": 12,
+        "quadkey_zoom": 7, "bounds": [0.0, 0.0, 0.0],
+        "center": [0.0, 0.0, 7], "tiles": {},
+    }
+    errs = mz.validate_mosaic(doc)
+    assert any("bounds" in e for e in errs)
+    doc["bounds"] = [-10.0, -10.0, 10.0, 10.0]
+    doc["center"] = [0.0]
+    errs = mz.validate_mosaic(doc)
+    assert any("center" in e for e in errs)
+
+
+def test_zero_asset_cap_is_rejected(spark, scenes_df):
+    """(review r3) max_assets_per_tile=0 must raise, not silently mean
+    'unlimited' via falsy-zero."""
+    import pytest as _pytest
+
+    cfg = MosaicConfig(quadkey_zoom=7, max_assets_per_tile=0)
+    tiles = udfs.explode_to_quadkeys(scenes_df, 7)
+    with _pytest.raises(ValueError, match="max_assets_per_tile"):
+        ops.assignments(tiles, cfg)
