@@ -7,9 +7,13 @@ quadtree IS our cell hierarchy — a cell at level z is exactly tile
 and quadkeys are the string form of the same cells.
 
 Packed id layout (int64): ``(morton(x, y) << 6) | level`` where morton
-interleaves x (even bits) and y (odd bits). Levels 0..29 fit in 63 bits
-— Landsat-scale indexing uses levels 5..12. Like S2's cell ids, parents
-are prefix-related: ``parent(id) = ((id >> 6) >> 2) << 6 | (level-1)``.
+interleaves x (even bits) and y (odd bits). Levels 0..28 fit in 63 bits
+(non-negative ids); level 29 needs bit 63, so its ids can be NEGATIVE —
+still unique and grouping-safe two's-complement values, but not
+order-comparable across the sign. Levels above 29 would truncate and
+are rejected. Landsat-scale indexing uses levels 5..12. Like S2's cell
+ids, parents are prefix-related:
+``parent(id) = ((id >> 6) >> 2) << 6 | (level-1)``.
 """
 
 from __future__ import annotations
@@ -49,7 +53,10 @@ def _unpart1by1(v: np.ndarray) -> np.ndarray:
 
 
 def pack_cell(xs, ys, level: int) -> np.ndarray:
-    """(x, y, level) tiles → packed int64 cell ids."""
+    """(x, y, level) tiles → packed int64 cell ids (see module doc for
+    the level-29 sign caveat)."""
+    if not 0 <= level <= 29:
+        raise ValueError(f"cell level must be in [0, 29] (got {level})")
     xs = np.asarray(xs, dtype=np.int64)
     ys = np.asarray(ys, dtype=np.int64)
     morton = _part1by1(xs) | (_part1by1(ys) << np.uint64(1))
@@ -75,6 +82,11 @@ def encode_cells(lons, lats, level: int) -> np.ndarray:
 def cell_parent(cells, levels: int = 1) -> np.ndarray:
     c = np.asarray(cells, dtype=np.int64).astype(np.uint64)
     level = (c & np.uint64(0x3F)).astype(np.int64) - levels
+    if (level < 0).any():
+        raise ValueError(
+            "cell_parent: levels exceeds a cell's own level (the level "
+            "field would wrap)"
+        )
     morton = (c >> np.uint64(6)) >> np.uint64(2 * levels)
     return ((morton << np.uint64(6)) | level.astype(np.uint64)).astype(np.int64)
 

@@ -43,6 +43,11 @@ SCENE_COLUMNS = [
 
 _FMTS = ["raw", "raw", "ppm", "ppm", "png"]  # ~80% raw/ppm per FIXTURES.md
 
+# WRS-2-ish grid layout — the ONE definition (sources.wrs2_dim imports
+# these so the J2 footprint dim can never drift from the fixtures)
+GRID_LON_BASE, GRID_LAT_BASE = -130.0, 25.0
+GRID_DLON, GRID_DLAT = 2.0, 1.8
+
 
 def _footprint(lon0, lat0, width=2.2, height=1.98, skew=0.55):
     """Closed CCW parallelogram ring mimicking Landsat swath tilt."""
@@ -72,8 +77,8 @@ def gen_scenes(
 ) -> pa.Table:
     """Synthetic scenes table as a pyarrow Table (FIXTURES.md §1)."""
     rng = np.random.default_rng(seed)
-    lon_base, lat_base = -130.0, 25.0
-    dlon, dlat = 2.0, 1.8
+    lon_base, lat_base = GRID_LON_BASE, GRID_LAT_BASE
+    dlon, dlat = GRID_DLON, GRID_DLAT
 
     recs: list[dict] = []
 
@@ -197,7 +202,13 @@ def gen_scenes(
             ("fp_ys", pa.list_(pa.float64())),
         ]
     )
-    return pa.Table.from_pydict(cols, schema=schema)
+    t = pa.Table.from_pydict(cols, schema=schema)
+    # upper-bound contract: when n_scenes is smaller than the
+    # structural minimum (grid floor + hotspot + edge scenes) the build
+    # above over-produces — trim so callers never get MORE than asked.
+    # (Small configs may yield slightly fewer rows than n_scenes — the
+    # grid sweep is capacity-limited; callers treat n_scenes as a cap.)
+    return t.slice(0, n_scenes)
 
 
 def gen_scenes_bulk(
@@ -209,8 +220,8 @@ def gen_scenes_bulk(
     """Fully vectorized scenes generator for BENCH scale (no payloads,
     no edge cases — same schema as gen_scenes). 10M scenes ≈ seconds."""
     rng = np.random.default_rng(seed)
-    lon_base, lat_base = -130.0, 25.0
-    dlon, dlat = 2.0, 1.8
+    lon_base, lat_base = GRID_LON_BASE, GRID_LAT_BASE
+    dlon, dlat = GRID_DLON, GRID_DLAT
     n = n_scenes
 
     p = rng.integers(1, paths + 1, n)
@@ -362,8 +373,9 @@ def gen_videos(
         # function of (i, frame) so tests can recompute any frame
         base = rng.integers(0, 200, (h, w, 3), dtype=np.uint8)
         frames = np.stack(
-            [(base + 7 * t) % 256 for t in range(n_frames)]
-        ).astype(np.uint8)
+            [(base.astype(np.int64) + 7 * t) % 256 for t in range(n_frames)]
+        ).astype(np.uint8)  # int64 intermediate: numpy>=2 would raise
+        # OverflowError adding a python int > 255 to a uint8 array
         ids.append(vid)
         blobs.append(imageops.encode_video_rawv(frames))
         fmts.append("rawv")

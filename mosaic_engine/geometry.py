@@ -36,6 +36,11 @@ def pad_rings(xs_list, ys_list):
     """
     n = len(xs_list)
     lens = np.fromiter((len(x) for x in xs_list), dtype=np.int64, count=n)
+    if n and (lens == 0).any():
+        # a zero-length ring would make the pad step below copy
+        # UNINITIALIZED np.empty memory across the row — nondeterministic
+        # phantom geometry. Corrupt input fails loudly instead.
+        raise ValueError("pad_rings: empty ring (corrupt geometry input)")
     maxlen = int(lens.max()) if n else 0
     if n and (lens == maxlen).all():
         # uniform rings (the common case: fixed 5-point footprints) —

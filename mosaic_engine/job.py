@@ -7,7 +7,7 @@ via ``spark-submit --py-files mosaic_engine.zip mosaic_engine/job.py``):
         --out /tmp/mosaic --quadkey-zoom 8 --preference newest \
         --optimized-selection --max-cloud 25
 
-Subcommands: build | missing | knn | gen (fixture generation).
+Subcommands: build | missing | knn | tiles | info | gen (fixtures).
 """
 
 from __future__ import annotations

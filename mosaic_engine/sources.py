@@ -125,7 +125,14 @@ def read_ndjson_features(spark: SparkSession, path: str) -> DataFrame:
         ).alias("cloud_cover"),
         F.array_min(xs).alias("min_lon"),
         F.array_min(ys).alias("min_lat"),
-        F.array_max(xs).alias("max_lon"),
+        # antimeridian: an eastward-unwrapped crossing ring (x past 180,
+        # the repo-wide convention — see udfs.ring_to_quadkeys) rotates
+        # into the min_lon > max_lon crossing bbox form; a naive
+        # array_max would clamp at 180 downstream and silently drop all
+        # coverage east of the antimeridian
+        F.when(
+            F.array_max(xs) > 180.0, F.array_max(xs) - 360.0
+        ).otherwise(F.array_max(xs)).alias("max_lon"),
         F.array_max(ys).alias("max_lat"),
         xs.alias("fp_xs"),
         ys.alias("fp_ys"),
@@ -150,14 +157,15 @@ def wrs2_dim(spark: SparkSession, paths: int = 50, rows: int = 30) -> DataFrame:
     parallelogram per cell, same layout datagen uses."""
     from pyspark.sql import Row
 
+    from . import datagen
+
     recs = []
-    lon_base, lat_base = -130.0, 25.0
+    lon_base, lat_base = datagen.GRID_LON_BASE, datagen.GRID_LAT_BASE
     for p in range(1, paths + 1):
         for r in range(1, rows + 1):
-            lon0 = lon_base + (p - 1) * 2.0
-            lat0 = lat_base + (r - 1) * 1.8
-            xs = [lon0, lon0 + 2.2, lon0 + 2.75, lon0 + 0.55, lon0]
-            ys = [lat0, lat0, lat0 + 1.98, lat0 + 1.98, lat0]
+            lon0 = lon_base + (p - 1) * datagen.GRID_DLON
+            lat0 = lat_base + (r - 1) * datagen.GRID_DLAT
+            xs, ys = datagen._footprint(lon0, lat0)
             recs.append(
                 Row(
                     path=p,
@@ -175,7 +183,13 @@ def wrs2_dim(spark: SparkSession, paths: int = 50, rows: int = 30) -> DataFrame:
 
 def attach_wrs2_footprints(scenes: DataFrame, wrs2: DataFrame) -> DataFrame:
     """J2: broadcast hash equi-join on (path, row) filling missing
-    footprints — the create-from-db path where rows carry only bboxes."""
+    footprints — the create-from-db path where rows carry only bboxes.
+
+    Fallback chain per scene: own footprint ring → wrs2 dim ring →
+    a rectangle synthesized from the scene's own bbox. Scenes with no
+    dim entry AND no bbox carry no geometry at all and are dropped
+    (count them upstream if that matters; letting them through would
+    crash the exact-intersect kernel on NULL rings)."""
     joined = scenes.join(F.broadcast(wrs2), ["path", "row"], "left")
     out = joined
     for c, wc in [
@@ -190,9 +204,27 @@ def attach_wrs2_footprints(scenes: DataFrame, wrs2: DataFrame) -> DataFrame:
             out = out.withColumn(c, F.coalesce(F.col(c), F.col(wc)))
         else:
             out = out.withColumn(c, F.col(wc))
-    return out.drop(
+    out = out.drop(
         "w_fp_xs", "w_fp_ys", "w_min_lon", "w_min_lat", "w_max_lon", "w_max_lat"
     )
+    have_bbox = (
+        F.col("min_lon").isNotNull()
+        & F.col("min_lat").isNotNull()
+        & F.col("max_lon").isNotNull()
+        & F.col("max_lat").isNotNull()
+    )
+    bbox_xs = F.array(
+        "min_lon", "max_lon", "max_lon", "min_lon", "min_lon"
+    )
+    bbox_ys = F.array(
+        "min_lat", "min_lat", "max_lat", "max_lat", "min_lat"
+    )
+    out = out.withColumn(
+        "fp_xs", F.coalesce(F.col("fp_xs"), F.when(have_bbox, bbox_xs))
+    ).withColumn(
+        "fp_ys", F.coalesce(F.col("fp_ys"), F.when(have_bbox, bbox_ys))
+    )
+    return out.filter(F.col("fp_xs").isNotNull())
 
 
 def write_mosaic_json(doc_json: str, path: str) -> str:

@@ -71,7 +71,14 @@ def lonlat_to_tile(lons, lats, zoom: int):
 
     Points within EPSILON of the right/bottom edge of a tile are counted
     in the next tile over; x/y are clamped to [0, 2**zoom - 1].
+    NaN coordinates raise: np.clip passes NaN through and int64-casting
+    NaN is undefined (observed INT64_MIN), which would silently turn a
+    null bbox into phantom tile coverage.
     """
+    lons = np.asarray(lons, dtype=np.float64)
+    lats = np.asarray(lats, dtype=np.float64)
+    if np.isnan(lons).any() or np.isnan(lats).any():
+        raise ValueError("lonlat_to_tile: NaN coordinate (null bbox?)")
     x, y = _xy_norm(lons, lats)
     z2 = float(1 << zoom)
     xtile = np.floor((x + EPSILON) * z2)

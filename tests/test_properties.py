@@ -149,3 +149,25 @@ def test_cover_ranges_matches_scalar_cover(w, s, dw, dh, zoom):
     }
     exp = set(oracle.tiles_cover(w, s, e, n, zoom))
     assert got == exp
+
+
+def test_kernel_guards_reject_corrupt_input():
+    """(review r3) corrupt/out-of-domain input fails loudly: NaN coords,
+    empty rings, out-of-range cell levels, excess parent hops."""
+    import pytest
+
+    from mosaic_engine import cells, geometry, tilemath as tm
+
+    with pytest.raises(ValueError, match="NaN"):
+        tm.lonlat_to_tile([float("nan")], [0.0], 8)
+    with pytest.raises(ValueError, match="empty ring"):
+        geometry.pad_rings([np.array([])], [np.array([])])
+    with pytest.raises(ValueError, match="level"):
+        cells.pack_cell([0], [0], 30)
+    c = cells.pack_cell([3], [5], 4)
+    with pytest.raises(ValueError, match="levels exceeds"):
+        cells.cell_parent(c, 5)
+    # level 29 is allowed but documented sign-caveat: still roundtrips
+    c29 = cells.pack_cell([0], [2**28], 29)
+    x, y, lv = cells.unpack_cell(c29)
+    assert (int(x[0]), int(y[0]), int(lv[0])) == (0, 2**28, 29)

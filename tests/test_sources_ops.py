@@ -553,3 +553,59 @@ def test_zero_asset_cap_is_rejected(spark, scenes_df):
     tiles = udfs.explode_to_quadkeys(scenes_df, 7)
     with _pytest.raises(ValueError, match="max_assets_per_tile"):
         ops.assignments(tiles, cfg)
+
+
+def test_ndjson_crossing_ring_bbox_rotates(spark, tmp_path):
+    """(review r3) An eastward-unwrapped crossing ring in ndjson yields
+    the min_lon > max_lon crossing bbox, so the explode splits it."""
+    feats = [{
+        "geometry": {"type": "Polygon", "coordinates": [[
+            [179.0, -2.0], [181.5, -2.0], [181.5, 2.0], [179.0, 2.0],
+            [179.0, -2.0]]]},
+        "properties": {
+            "product_id": "LC08_L1TP_099011_20200101_20200113_01_T1",
+            "eo:cloud_cover": 1.0, "datetime": "2020-01-01T00:00:00Z",
+            "wrs_path": 99, "wrs_row": 11},
+    }]
+    p = tmp_path / "x.ndjson"
+    p.write_text("\n".join(json.dumps(f) for f in feats))
+    r = sources.read_ndjson_features(spark, str(p)).first()
+    assert r["min_lon"] == 179.0
+    assert r["max_lon"] == pytest.approx(-178.5)  # rotated: crossing form
+    # and the scene yields quadkeys on BOTH sides of the antimeridian
+    tiles = udfs.explode_to_quadkeys(
+        sources.read_ndjson_features(spark, str(p)), 4,
+        passthrough=["image_id"])
+    from mosaic_engine import cells as cl
+    from mosaic_engine import tilemath as tm
+
+    cells_got = np.array([t["cell"] for t in tiles.collect()], np.int64)
+    xs, ys, _ = cl.unpack_cell(cells_got)
+    w = tm.tile_bounds(xs, ys, 4)[0]
+    assert (w >= 157.0).any() and (w <= -180.0 + 1e-9).any()
+
+
+def test_attach_wrs2_bbox_fallback_and_drop(spark):
+    """(review r3) no dim entry + own bbox → synthesized bbox ring;
+    no dim entry + no bbox → dropped (never a NULL ring downstream)."""
+    from pyspark.sql import Row
+
+    wrs2 = sources.wrs2_dim(spark, paths=3, rows=3)
+    scenes = spark.createDataFrame([
+        Row(image_id="IN_DIM", path=2, row=2, cloud_cover=1.0,
+            min_lon=None, min_lat=None, max_lon=None, max_lat=None),
+        Row(image_id="BBOX_ONLY", path=99, row=99, cloud_cover=1.0,
+            min_lon=10.0, min_lat=20.0, max_lon=12.0, max_lat=22.0),
+        Row(image_id="NOTHING", path=98, row=98, cloud_cover=1.0,
+            min_lon=None, min_lat=None, max_lon=None, max_lat=None),
+    ])
+    out = {r["image_id"]: r
+           for r in sources.attach_wrs2_footprints(scenes, wrs2).collect()}
+    assert set(out) == {"IN_DIM", "BBOX_ONLY"}  # NOTHING dropped
+    assert len(out["IN_DIM"]["fp_xs"]) == 5
+    assert list(out["BBOX_ONLY"]["fp_xs"]) == [10.0, 12.0, 12.0, 10.0, 10.0]
+    # the synthesized ring flows through the exact explode without error
+    n = udfs.explode_to_quadkeys(
+        sources.attach_wrs2_footprints(scenes, wrs2), 6,
+        passthrough=["image_id"]).count()
+    assert n > 0
