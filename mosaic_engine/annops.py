@@ -64,32 +64,34 @@ def with_quantized(emb: DataFrame) -> DataFrame:
     return q.withColumn("norm2", dot_long(F.col("q"), F.col("q")))
 
 
-def cosine_topk(
-    emb: DataFrame, n_queries: int = 10, k: int = 5
-) -> DataFrame:
-    """Brute-force exact cosine top-k for query vectors (vec_id < n).
+def _nonzero(base: DataFrame) -> DataFrame:
+    """Drop zero-norm / NULL-embedding rows before any cosine math: a
+    zero vector has no direction, and under Spark's default ANSI mode
+    the norm division would abort the whole job (with ANSI off, the
+    NULL score would sort to rank 1 of every top-k). norm2 > 0 is
+    null-safe, so NULL embeddings (norm2 NULL) drop too."""
+    return base.filter(F.col("norm2") > 0)
 
-    Scale shape: broadcast the query block, stream the corpus, no
-    window — per-query top-k via sorted-struct aggregation.
-    """
-    base = with_quantized(emb)
-    queries = base.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("q").alias("qq"),
-        F.col("norm2").alias("qn2"),
+
+def _cosine_score(qa, na, qb, nb) -> Column:
+    """Exact-integer cosine similarity. Callers must route inputs
+    through _nonzero first (see there) — this is the ONE definition of
+    the score every ANN op uses."""
+    return dot_long(qa, qb).cast("double") / (
+        F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
     )
-    scored = base.crossJoin(F.broadcast(queries)).filter(
-        F.col("vec_id") != F.col("query_id")
-    )
-    score = (
-        dot_long(F.col("q"), F.col("qq")).cast("double")
-        / (F.sqrt(F.col("norm2").cast("double")) * F.sqrt(F.col("qn2").cast("double")))
-    ).alias("score")
-    scored = scored.select("query_id", "vec_id", score)
+
+
+def _cosine_topk_tail(scored: DataFrame, k: int) -> DataFrame:
+    """(query_id, vec_id, score) rows → exact top-k per query via
+    sorted-struct aggregation (map-side partials, no window) — the ONE
+    definition of the ANN top-k tail."""
     topk = scored.groupBy("query_id").agg(
         F.slice(
             F.sort_array(
-                F.collect_list(F.struct((-F.col("score")).alias("ns"), F.col("vec_id")))
+                F.collect_list(
+                    F.struct((-F.col("score")).alias("ns"), F.col("vec_id"))
+                )
             ),
             1,
             k,
@@ -103,6 +105,29 @@ def cosine_topk(
         F.col("nn.vec_id").alias("neighbor_id"),
         (-F.col("nn.ns")).alias("score"),
     )
+
+
+def cosine_topk(
+    emb: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Brute-force exact cosine top-k for query vectors (vec_id < n).
+
+    Scale shape: broadcast the query block, stream the corpus, no
+    window — per-query top-k via sorted-struct aggregation.
+    """
+    base = _nonzero(with_quantized(emb))
+    queries = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("norm2").alias("qn2"),
+    )
+    scored = base.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    score = _cosine_score(
+        F.col("q"), F.col("norm2"), F.col("qq"), F.col("qn2")
+    ).alias("score")
+    return _cosine_topk_tail(scored.select("query_id", "vec_id", score), k)
 
 
 def lsh_bucket_col(qcol) -> Column:
@@ -138,7 +163,7 @@ def ann_lsh_topk(
     """
     if not 1 <= n_probes <= N_PLANES + 1:
         raise ValueError(f"n_probes must be in [1, {N_PLANES + 1}]")
-    base = with_quantized(emb).withColumn(
+    base = _nonzero(with_quantized(emb)).withColumn(
         "bucket", lsh_bucket_col(F.col("q"))
     )
     queries = base.filter(F.col("vec_id") < n_queries).select(
@@ -170,28 +195,10 @@ def ann_lsh_topk(
     cand = base.join(F.broadcast(queries), "bucket").filter(
         F.col("vec_id") != F.col("query_id")
     )
-    score = (
-        dot_long(F.col("q"), F.col("qq")).cast("double")
-        / (F.sqrt(F.col("norm2").cast("double")) * F.sqrt(F.col("qn2").cast("double")))
+    score = _cosine_score(
+        F.col("q"), F.col("norm2"), F.col("qq"), F.col("qn2")
     ).alias("score")
-    scored = cand.select("query_id", "vec_id", score)
-    topk = scored.groupBy("query_id").agg(
-        F.slice(
-            F.sort_array(
-                F.collect_list(F.struct((-F.col("score")).alias("ns"), F.col("vec_id")))
-            ),
-            1,
-            k,
-        ).alias("nn")
-    )
-    return topk.select(
-        "query_id", F.posexplode("nn").alias("pos", "nn")
-    ).select(
-        "query_id",
-        (F.col("pos") + 1).alias("rank"),
-        F.col("nn.vec_id").alias("neighbor_id"),
-        (-F.col("nn.ns")).alias("score"),
-    )
+    return _cosine_topk_tail(cand.select("query_id", "vec_id", score), k)
 
 
 N_LIST = 16
@@ -214,9 +221,17 @@ def ivf_centroids(emb: DataFrame, n_list: int = N_LIST, iters: int = IVF_ITERS):
     Returns a list of (cid, [int; DIM]) — bounded (n_list × DIM), the
     standard driver-side k-means state (Spark ML's KMeans collects the
     same per iteration).
+
+    Exactness bound: the per-dimension mean uses floor(sum / count) in
+    DOUBLE (matching the SQL oracle operation-for-operation), exact
+    while per-cluster |sum(val)| < 2^53 — at the default QUANT that is
+    ~10^12 rows per cluster; past that, switch BOTH engines to integer
+    floor division.
     """
-    base = with_quantized(emb).select("vec_id", "q").localCheckpoint(
-        eager=True
+    base = (
+        _nonzero(with_quantized(emb))
+        .select("vec_id", "q")
+        .localCheckpoint(eager=True)
     )
     cents = [
         (int(r["vec_id"]), [int(v) for v in r["q"]])
@@ -270,10 +285,22 @@ def _ivf_assign_col(cents, qcol: str) -> Column:
     den = np.sqrt(ncc.astype(np.float64))
     valid = ncc > 0
 
+    dim = C.shape[1]
+
     @pandas_udf(T.LongType())
     def assign(q: pd.Series) -> pd.Series:
         if len(q) == 0:
             return pd.Series(np.empty(0, dtype=np.int64))
+        for v in q:
+            # loud, attributable failure instead of an opaque vstack
+            # error (NULL embeddings are filtered by _nonzero upstream,
+            # but a wrong-DIM vector would still pass norm2 > 0)
+            if v is None or len(v) != dim:
+                raise ValueError(
+                    f"ivf assign: embedding must be non-null with "
+                    f"{dim} dims (got "
+                    f"{'null' if v is None else len(v)})"
+                )
         Q = np.vstack(q.to_numpy())  # (n, DIM) int64
         dots = Q.astype(np.int64) @ C.T  # exact
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -301,7 +328,9 @@ def ivf_topk(
     corpus. Deterministic end to end (integer-exact training)."""
     if cents is None:
         cents = ivf_centroids(emb, n_list=n_list)
-    base = with_quantized(emb).withColumn("cid", _ivf_assign_col(cents, "q"))
+    base = _nonzero(with_quantized(emb)).withColumn(
+        "cid", _ivf_assign_col(cents, "q")
+    )
     qs = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qq"),
@@ -313,28 +342,10 @@ def ivf_topk(
     cand = base.join(F.broadcast(probes), "cid").filter(
         F.col("vec_id") != F.col("query_id")
     )
-    score = (
-        dot_long(F.col("q"), F.col("qq")).cast("double")
-        / (F.sqrt(F.col("norm2").cast("double")) * F.sqrt(F.col("qn2").cast("double")))
+    score = _cosine_score(
+        F.col("q"), F.col("norm2"), F.col("qq"), F.col("qn2")
     ).alias("score")
-    scored = cand.select("query_id", "vec_id", score)
-    topk = scored.groupBy("query_id").agg(
-        F.slice(
-            F.sort_array(
-                F.collect_list(F.struct((-F.col("score")).alias("ns"), F.col("vec_id")))
-            ),
-            1,
-            k,
-        ).alias("nn")
-    )
-    return topk.select(
-        "query_id", F.posexplode("nn").alias("pos", "nn")
-    ).select(
-        "query_id",
-        (F.col("pos") + 1).alias("rank"),
-        F.col("nn.vec_id").alias("neighbor_id"),
-        (-F.col("nn.ns")).alias("score"),
-    )
+    return _cosine_topk_tail(cand.select("query_id", "vec_id", score), k)
 
 
 def _ivf_probe_col(cents, qcol: str, n_probe: int) -> Column:
@@ -352,10 +363,17 @@ def _ivf_probe_col(cents, qcol: str, n_probe: int) -> Column:
     valid = ncc > 0
     take = min(n_probe, len(cents))
 
+    dim = C.shape[1]
+
     @pandas_udf(T.ArrayType(T.LongType()))
     def probe(q: pd.Series) -> pd.Series:
         out = []
         for vec in q:  # query side is bounded by contract
+            if vec is None or len(vec) != dim:
+                raise ValueError(
+                    f"ivf probe: embedding must be non-null with {dim} "
+                    f"dims (got {'null' if vec is None else len(vec)})"
+                )
             dots = np.asarray(vec, dtype=np.int64) @ C.T
             with np.errstate(divide="ignore", invalid="ignore"):
                 scores = np.where(
@@ -394,8 +412,14 @@ def neardup_pairs(
     (the old same-label blocking was quadratic within a label). Banding
     over J/bands-bit buckets trades bucket size for recall exactly like
     minhash_lsh_pairs."""
+    if bands < 1 or N_PLANES % bands != 0:
+        raise ValueError(
+            f"bands must divide N_PLANES={N_PLANES} (got {bands}) — a "
+            "non-divisor silently drops planes and bands > N_PLANES "
+            "degenerates every band to one all-corpus bucket"
+        )
     rows = N_PLANES // bands
-    base = with_quantized(emb)
+    base = _nonzero(with_quantized(emb))
     parts = [
         base.select(
             "vec_id",
@@ -420,12 +444,8 @@ def neardup_pairs(
         F.col("q").alias("q_b"),
         F.col("norm2").alias("n2_b"),
     )
-    score = (
-        dot_long(F.col("q_a"), F.col("q_b")).cast("double")
-        / (
-            F.sqrt(F.col("n2_a").cast("double"))
-            * F.sqrt(F.col("n2_b").cast("double"))
-        )
+    score = _cosine_score(
+        F.col("q_a"), F.col("n2_a"), F.col("q_b"), F.col("n2_b")
     ).alias("score")
     return (
         cand.join(qa, "vec_a")

@@ -244,8 +244,12 @@ def minhash_lsh_pairs(
 def minhash_banded(docs: DataFrame) -> DataFrame:
     """(doc_id, band, key) LSH banding rows over the minhash signature —
     the input shape shared by banded_candidate_pairs and
-    lsh_bucket_stats."""
-    sig = minhash_signatures(docs)
+    lsh_bucket_stats. The signature is localCheckpointed: it feeds
+    LSH_BANDS union branches (and the guard's bucket-size join adds
+    two more), so without pinning, the shingle-explode + two
+    aggregations — the op's most expensive stage — would re-execute per
+    branch (same rationale as simhash_pairs)."""
+    sig = minhash_signatures(docs).localCheckpoint(eager=True)
     bands = []
     for b in range(LSH_BANDS):
         cols = [f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
@@ -431,18 +435,20 @@ def token_count_bpe(docs: DataFrame) -> DataFrame:
 
 def char_ngrams(docs: DataFrame, n: int = 4) -> DataFrame:
     """(doc_id, distinct char n-gram) of the lowercased text — JVM-side
-    via sequence+substring explode (no Python)."""
+    via sequence+substring explode (no Python).
+
+    Docs shorter than n chars yield NO rows — guarded with when(),
+    because Spark's sequence(1, 0) is the DESCENDING array [1, 0] (the
+    same pitfall shingles() guards), which would emit bogus
+    sub-n-length grams for short docs and diverge from the SQL oracle's
+    end-exclusive range()."""
+    lt = F.lower("text")
+    idx = F.when(
+        F.length(lt) >= n,
+        F.sequence(F.lit(1), F.length(lt) - (n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
     return (
-        docs.select(
-            "doc_id",
-            F.lower("text").alias("lt"),
-            F.explode(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.length(F.lower("text")) - (n - 1), F.lit(0)),
-                )
-            ).alias("i"),
-        )
+        docs.select("doc_id", lt.alias("lt"), F.explode(idx).alias("i"))
         .select("doc_id", F.expr(f"substr(lt, i, {n})").alias("gram"))
         .distinct()
     )
@@ -636,6 +642,8 @@ def winnow_fingerprints(
 
     if not 1 <= k <= len(POW31):
         raise ValueError(f"k must be in [1, {len(POW31)}] (got {k})")
+    if w < 1:
+        raise ValueError(f"w must be >= 1 (got {w})")
     src = docs.select("doc_id", F.lower(F.col("text")).alias("lt"))
     out_schema = T.StructType(
         [src.schema["doc_id"], T.StructField("fp", T.LongType())]

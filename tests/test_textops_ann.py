@@ -510,3 +510,62 @@ def test_oracle_sf_buckets_stay_under_guard_cap(spark):
         .first()[0]
     )
     assert mx < textops.LSH_MAX_BUCKET, mx
+
+
+def test_zero_norm_embedding_is_excluded_not_fatal(spark):
+    """(review r3) A zero-quantized (or NULL) embedding must not abort
+    the job (Spark 4 ANSI DIVIDE_BY_ZERO) nor occupy rank 1 with a NULL
+    score — it simply has no direction and is excluded."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    rng = np.random.default_rng(4)
+    base = [float(v) for v in rng.normal(size=annops.DIM)]
+    rows = [
+        Row(vec_id=0, embedding=base, label=1),
+        Row(vec_id=1, embedding=[float(v) * 2 for v in base], label=1),
+        Row(vec_id=2, embedding=[0.0001] * annops.DIM, label=1),  # → zero
+        Row(vec_id=3, embedding=None, label=1),
+    ]
+    emb = spark.createDataFrame(rows, schema="vec_id long, "
+                                "embedding array<double>, label int")
+    out = annops.cosine_topk(emb, n_queries=2, k=3).collect()
+    ids = {r["neighbor_id"] for r in out}
+    assert 2 not in ids and 3 not in ids
+    assert all(r["score"] is not None for r in out)
+    assert {r["query_id"] for r in out} == {0, 1}
+    # banded pairs path survives too
+    pairs = annops.neardup_pairs(emb, min_score=0.9).collect()
+    assert {(r["vec_a"], r["vec_b"]) for r in pairs} == {(0, 1)}
+
+
+def test_neardup_bands_validated(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[1.0] * annops.DIM, label=1)])
+    for bad in (0, 3, 16):
+        with pytest.raises(ValueError, match="bands"):
+            annops.neardup_pairs(emb, bands=bad)
+
+
+def test_char_ngrams_short_docs_yield_no_rows(spark):
+    """(review r3) Spark's sequence(1, 0) is DESCENDING [1, 0]; docs
+    shorter than n must emit zero grams (matching the SQL oracle's
+    end-exclusive range), not bogus sub-n-length grams."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="a b", lang="en", source="a", n_chars=3),
+        Row(doc_id=2, text="", lang="en", source="a", n_chars=0),
+        Row(doc_id=3, text="abcd", lang="en", source="a", n_chars=4),
+        Row(doc_id=4, text="abcde", lang="en", source="a", n_chars=5),
+    ])
+    got = {}
+    for r in textops.char_ngrams(docs, n=4).collect():
+        got.setdefault(r["doc_id"], set()).add(r["gram"])
+    assert got == {3: {"abcd"}, 4: {"abcd", "bcde"}}
+    # short identical docs in a candidate pair: no grams → no jaccard row
+    cand = spark.createDataFrame([Row(doc_a=1, doc_b=2)])
+    assert textops.ngram_jaccard_pairs(docs, candidates=cand).count() == 0
