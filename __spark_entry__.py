@@ -764,9 +764,14 @@ def _ann_topk_sql(bucketed: bool, n_probes: int = 1) -> str:
         f"[{', '.join(str(v) for v in row)}] AS w{j}"
         for j, row in enumerate(annops.PLANES)
     )
+    # norm2 > 0 mirrors annops._nonzero: the engine drops zero-norm /
+    # NULL embeddings before any cosine math, so the oracle must too or
+    # a degenerate fixture row would produce inf/NaN oracle scores and
+    # a row-count mismatch (ADVICE r3)
     base = (
-        f"SELECT vec_id, label, {QUANT_SQL} AS q, "
-        f"list_dot_product({QUANT_SQL}, {QUANT_SQL}) AS norm2 FROM embeddings"
+        f"SELECT * FROM (SELECT vec_id, label, {QUANT_SQL} AS q, "
+        f"list_dot_product({QUANT_SQL}, {QUANT_SQL}) AS norm2 "
+        "FROM embeddings) WHERE norm2 > 0"
     )
     if bucketed:
         base_b = (
@@ -894,8 +899,10 @@ def sql_ann_ivf_topk():
         )
 
     ctes = [
-        f"base AS (SELECT vec_id, {QUANT_SQL} AS q, "
-        f"CAST(list_dot_product({QUANT_SQL}, {QUANT_SQL}) AS BIGINT) AS norm2 FROM embeddings)",
+        # norm2 > 0 mirrors annops._nonzero (see _ann_topk_sql)
+        f"base AS (SELECT * FROM (SELECT vec_id, {QUANT_SQL} AS q, "
+        f"CAST(list_dot_product({QUANT_SQL}, {QUANT_SQL}) AS BIGINT) AS norm2 "
+        "FROM embeddings) WHERE norm2 > 0)",
         "c0 AS (SELECT vec_id AS cid, q AS c, norm2 AS ncc FROM base "
         f"WHERE vec_id < {annops.N_LIST})",
     ]
@@ -956,8 +963,10 @@ def sql_embed_neardup():
         for b in range(2)
     )
     return (
-        f"WITH base AS (SELECT vec_id, label, {QUANT_SQL} AS q, "
-        f"list_dot_product({QUANT_SQL}, {QUANT_SQL}) AS norm2 FROM embeddings), "
+        # norm2 > 0 mirrors annops._nonzero (see _ann_topk_sql)
+        f"WITH base AS (SELECT * FROM (SELECT vec_id, label, {QUANT_SQL} AS q, "
+        f"list_dot_product({QUANT_SQL}, {QUANT_SQL}) AS norm2 "
+        "FROM embeddings) WHERE norm2 > 0), "
         f"basew AS (SELECT *, {wdefs} FROM base), "
         f"banded AS ({band_selects}), "
         "cand AS (SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b "

@@ -180,6 +180,29 @@ def gen_scenes(
             ys = [y0, y0 + 5.0, y0 + 4.7, y0 - 0.3, y0]
             add_scene(90 + k, 90, x0, y0, ring=(xs, ys), tag=", sliver")
 
+    # upper-bound contract: when n_scenes is smaller than the
+    # structural minimum (grid floor + hotspot + edge scenes) the build
+    # above over-produces. Trim GRID rows first, then hotspot rows —
+    # never the edge-case rows, which sit at the END of `recs` and are
+    # exactly what a small edge_cases=True caller asked for (ADVICE r3:
+    # a tail slice silently dropped the adversarial scenes).
+    excess = len(recs) - n_scenes
+    if excess > 0:
+        grid_n = count
+        hot_n = len(recs) - count - n_edge
+        if edge_cases and n_scenes < n_edge:
+            raise ValueError(
+                f"n_scenes={n_scenes} is below the structural minimum of "
+                f"{n_edge} edge-case scenes — pass edge_cases=False or "
+                "raise n_scenes"
+            )
+        drop_grid = min(excess, grid_n)
+        drop_hot = excess - drop_grid
+        recs = (
+            recs[: grid_n - drop_grid]
+            + recs[grid_n : grid_n + hot_n - drop_hot]
+            + recs[grid_n + hot_n :]
+        )
     cols = {c: [r[c] for r in recs] for c in SCENE_COLUMNS}
     schema = pa.schema(
         [
@@ -202,13 +225,9 @@ def gen_scenes(
             ("fp_ys", pa.list_(pa.float64())),
         ]
     )
-    t = pa.Table.from_pydict(cols, schema=schema)
-    # upper-bound contract: when n_scenes is smaller than the
-    # structural minimum (grid floor + hotspot + edge scenes) the build
-    # above over-produces — trim so callers never get MORE than asked.
     # (Small configs may yield slightly fewer rows than n_scenes — the
     # grid sweep is capacity-limited; callers treat n_scenes as a cap.)
-    return t.slice(0, n_scenes)
+    return pa.Table.from_pydict(cols, schema=schema)
 
 
 def gen_scenes_bulk(

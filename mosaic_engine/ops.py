@@ -659,7 +659,18 @@ def mosaic_rollup(tiles: DataFrame, levels: int = 4) -> DataFrame:
     parent = F.shiftleft(
         F.shiftright("cell", 6 + 2 * levels), 6
     ) + (lvl - levels)
-    lv1 = tiles.select(parent.alias("cell_r4"), "image_id")
+    # fail-loud twin of cells.cell_parent: a cell shallower than
+    # `levels` has no such parent — without the guard the negative
+    # level field would silently corrupt the region key (ADVICE r3)
+    guarded = F.when(
+        F.assert_true(
+            lvl >= levels,
+            f"mosaic_rollup: cell level below levels={levels} has no "
+            "parent at that depth",
+        ).isNull(),
+        parent,
+    )
+    lv1 = tiles.select(guarded.alias("cell_r4"), "image_id")
     return lv1.rollup("cell_r4").agg(
         F.count("*").alias("n_rows"),
         F.countDistinct("image_id").alias("n_scenes"),

@@ -86,6 +86,32 @@ def run_incremental(
                 "ids and be silently dropped. Restore the original _chk or "
                 "start a fresh work_dir."
             )
+        if man["chk_id"] is None:
+            # legacy-migrated manifest that never learned its offset
+            # log's identity: a _chk RECREATED by a different query
+            # after migration would restart batch ids at 0 — exactly
+            # the silent-skip this guard exists to prevent (ADVICE r3).
+            # Adopt the observed qid only when its offset log provably
+            # covers every folded batch id (sequential ids → coverage
+            # = max recorded offset >= max folded id).
+            odir = os.path.join(work_dir, "_chk", "offsets")
+            recorded = [
+                int(f) for f in (
+                    os.listdir(odir) if os.path.isdir(odir) else []
+                ) if f.isdigit()
+            ]
+            if not recorded or max(recorded) < max(man["folded"]):
+                raise ValueError(
+                    f"work_dir {work_dir} has folded batches up to "
+                    f"{max(man['folded'])} but the _chk offset log only "
+                    f"covers up to {max(recorded) if recorded else 'none'}"
+                    " — this checkpoint did not assign the folded batch "
+                    "ids, so replayed input would recycle them and be "
+                    "silently dropped. Restore the original _chk or "
+                    "start a fresh work_dir."
+                )
+            man["chk_id"] = qid
+            _write_manifest(work_dir, man)
     schema = spark.read.parquet(scenes_dir).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:

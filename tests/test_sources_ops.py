@@ -609,3 +609,39 @@ def test_attach_wrs2_bbox_fallback_and_drop(spark):
         sources.attach_wrs2_footprints(scenes, wrs2), 6,
         passthrough=["image_id"]).count()
     assert n > 0
+
+
+def test_mosaic_rollup_rejects_shallow_cells(spark):
+    """ADVICE r3: a cell whose packed level is below `levels` has no
+    parent at that depth — mosaic_rollup must fail loudly (matching
+    cells.cell_parent) instead of emitting a corrupted region key."""
+    from pyspark.errors import SparkRuntimeException
+    from pyspark.sql import Row
+
+    from mosaic_engine import cells as cl
+
+    shallow = int(cl.pack_cell(1, 1, 2))  # level 2 < default 4
+    df = spark.createDataFrame([Row(cell=shallow, image_id="X")])
+    with pytest.raises(SparkRuntimeException, match="mosaic_rollup"):
+        ops.mosaic_rollup(df).collect()
+
+
+def test_gen_scenes_small_n_keeps_edge_cases():
+    """ADVICE r3: trimming an over-produced build must drop grid (then
+    hotspot) rows, never the adversarial edge-case scenes appended at
+    the end."""
+    from mosaic_engine import datagen
+
+    t = datagen.gen_scenes(n_scenes=12, paths=3, rows=3, seed=42)
+    assert t.num_rows <= 12
+    caps = [c.as_py() for c in t["caption"]]
+    for tag in ("antimeridian", "polar", "sliver"):
+        assert any(tag in c for c in caps), f"missing edge-case tag {tag}"
+    # below the structural minimum the builder refuses rather than
+    # silently dropping the edge cases the caller asked for
+    with pytest.raises(ValueError, match="structural minimum"):
+        datagen.gen_scenes(n_scenes=5, paths=2, rows=2, seed=42)
+    # edge_cases=False small configs still work
+    t2 = datagen.gen_scenes(n_scenes=5, paths=2, rows=2, seed=42,
+                            edge_cases=False)
+    assert t2.num_rows <= 5

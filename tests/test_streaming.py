@@ -350,3 +350,54 @@ def test_legacy_compacted_batches_migrates_to_manifest(tmp_path):
     # the legacy compacted partition stays live (not in the folded set)
     assert streaming._tiles_paths(work) == [
         os.path.join(work, "tiles_log", "batch_id=-1")]
+
+
+def test_orphaned_manifest_adopts_or_refuses_checkpoint(spark, tmp_path):
+    """ADVICE r3: a manifest whose chk_id is None (legacy migration
+    while _chk was missing) must not trust ANY later _chk. Adopt the
+    observed query id only when its offset log provably covers every
+    folded batch id; refuse otherwise — a checkpoint recreated by a
+    different query restarts batch ids at 0 and would silently skip
+    new input."""
+    import json
+    import shutil
+
+    import pytest
+
+    full = datagen.gen_scenes(n_scenes=40, paths=3, rows=3, seed=7)
+    scenes_dir = str(tmp_path / "scenes")
+    work = str(tmp_path / "work")
+    os.makedirs(scenes_dir)
+    cfg = MosaicConfig(quadkey_zoom=7)
+    for i, sl in enumerate((full.slice(0, 20), full.slice(20))):
+        datagen.write_parquet(sl, os.path.join(scenes_dir, f"p{i}.parquet"))
+        streaming.run_incremental(spark, scenes_dir, cfg, work)
+    assert streaming.compact_tiles_log(spark, work, target_partitions=1) == 2
+    man = streaming._read_manifest(work)
+    real_qid = man["chk_id"]
+    assert real_qid
+    # simulate the legacy-migrated manifest that never learned its qid
+    man["chk_id"] = None
+    streaming._write_manifest(work, man)
+    # original _chk intact → its offsets cover the folded ids → the
+    # manifest adopts the qid and processing continues
+    datagen.write_parquet(
+        full.slice(0, 10), os.path.join(scenes_dir, "p2.parquet")
+    )
+    assert streaming.run_incremental(spark, scenes_dir, cfg, work) >= 1
+    assert streaming._read_manifest(work)["chk_id"] == real_qid
+
+    # a RECREATED _chk from a different query whose offset log does NOT
+    # cover the folded ids → refusal before the stream ever starts
+    man = streaming._read_manifest(work)
+    man["chk_id"] = None
+    streaming._write_manifest(work, man)
+    chk = os.path.join(work, "_chk")
+    shutil.rmtree(chk)
+    os.makedirs(os.path.join(chk, "offsets"))
+    with open(os.path.join(chk, "metadata"), "w") as f:
+        json.dump({"id": "imposter"}, f)
+    with open(os.path.join(chk, "offsets", "0"), "w") as f:
+        f.write("v1")
+    with pytest.raises(ValueError, match="offset log"):
+        streaming.run_incremental(spark, scenes_dir, cfg, work)
