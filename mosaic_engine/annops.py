@@ -14,6 +14,8 @@ deterministic because every dot is an exact integer).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 import pandas as pd  # module-level: pandas_udf resolves the stringified
 # type hints ('pd.Series') of UDFs defined under `from __future__
@@ -313,24 +315,89 @@ def _ivf_assign_col(cents, qcol: str) -> Column:
     return assign(F.col(qcol))
 
 
+@dataclass
+class IvfIndex:
+    """Reusable IVF corpus index: the trained integer centroids (the
+    bounded driver-side k-means state) and the assigned corpus
+    (vec_id, label, q, norm2, cid). Build once with ivf_index, serve
+    many query batches through ivf_topk(index=...) — repeated batches
+    skip BOTH the k-means training scans and the corpus-wide
+    assignment matmul (index on ingest, query per request)."""
+
+    cents: list  # [(cid, [int; DIM])], cid-sorted
+    corpus: DataFrame
+
+
+def ivf_index(
+    emb: DataFrame, n_list: int = N_LIST, iters: int = IVF_ITERS
+) -> IvfIndex:
+    """Train centroids and assign the corpus once (see IvfIndex)."""
+    cents = ivf_centroids(emb, n_list=n_list, iters=iters)
+    corpus = _nonzero(with_quantized(emb)).withColumn(
+        "cid", _ivf_assign_col(cents, "q")
+    )
+    return IvfIndex(cents, corpus)
+
+
+def ivf_index_save(idx: IvfIndex, path: str) -> None:
+    """Persist an IvfIndex as parquet (``path/cents`` +
+    ``path/corpus``) so serving survives the SparkSession. The corpus
+    is written PARTITIONED BY cid — the inverted-list layout on disk:
+    a served query that probes n_probe of n_list lists reads only
+    those directories (Spark's dynamic partition pruning fires on the
+    broadcast probe join), so each request touches ~n_probe/n_list of
+    the corpus bytes, not just of the rows. All I/O goes through
+    Spark's Hadoop FS layer, so `path` may be local, HDFS, or s3a."""
+    spark = idx.corpus.sparkSession
+    spark.createDataFrame(
+        [(int(c), [int(x) for x in v]) for c, v in idx.cents],
+        "cid long, c array<long>",
+    ).write.mode("overwrite").parquet(f"{path}/cents")
+    idx.corpus.write.mode("overwrite").partitionBy("cid").parquet(
+        f"{path}/corpus"
+    )
+
+
+def ivf_index_load(spark, path: str) -> IvfIndex:
+    """Reload an ivf_index_save'd index. The partition column comes
+    back type-inferred (int), so it is re-cast to long to keep the
+    serving join's key type identical to the built-inline path."""
+    cents = sorted(
+        (int(r["cid"]), [int(v) for v in r["c"]])
+        for r in spark.read.parquet(f"{path}/cents").collect()
+    )
+    corpus = spark.read.parquet(f"{path}/corpus").withColumn(
+        "cid", F.col("cid").cast("long")
+    )
+    return IvfIndex(cents, corpus)
+
+
 def ivf_topk(
-    emb: DataFrame,
+    emb: DataFrame | None,
     n_queries: int = 10,
     k: int = 5,
     n_list: int = N_LIST,
     n_probe: int = 2,
     cents=None,
+    index: IvfIndex | None = None,
 ) -> DataFrame:
     """IVF ANN: exact cosine top-k within the n_probe nearest inverted
     lists. The corpus partitions by trained centroid (one map stage);
     each query probes its n_probe best lists — candidates meet through
     a broadcast equi-join on cid, touching ~n_probe/n_list of the
-    corpus. Deterministic end to end (integer-exact training)."""
-    if cents is None:
-        cents = ivf_centroids(emb, n_list=n_list)
-    base = _nonzero(with_quantized(emb)).withColumn(
-        "cid", _ivf_assign_col(cents, "q")
-    )
+    corpus. Deterministic end to end (integer-exact training).
+
+    Pass a prebuilt ``index`` (ivf_index / ivf_index_load) to serve
+    from the stored inverted lists without retraining or reassigning;
+    `emb`/`n_list`/`cents` are then ignored."""
+    if index is not None:
+        cents, base = index.cents, index.corpus
+    else:
+        if cents is None:
+            cents = ivf_centroids(emb, n_list=n_list)
+        base = _nonzero(with_quantized(emb)).withColumn(
+            "cid", _ivf_assign_col(cents, "q")
+        )
     qs = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qq"),

@@ -363,6 +363,40 @@ def knn_index(
     return KnnIndex(level, sc, stats.localCheckpoint(eager=True))
 
 
+def knn_index_save(idx: KnnIndex, path: str) -> None:
+    """Persist a KnnIndex as parquet so the index-on-ingest serving
+    path survives the SparkSession (a localCheckpointed stats dim dies
+    with its session). Layout: ``path/meta`` (1-row: level),
+    ``path/stats`` (per-cell stats dim), ``path/cent`` (corpus
+    centroids keyed by cell). All I/O goes through Spark's Hadoop FS
+    layer — no POSIX-only ops — so `path` may be local, HDFS, or s3a.
+    """
+    spark = idx.cent.sparkSession
+    spark.createDataFrame([(int(idx.level),)], "level int").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta")
+    idx.stats.write.mode("overwrite").parquet(f"{path}/stats")
+    # range-cluster the (corpus-sized) centroid table on cell: parquet
+    # row-group min/max on `cell` then lets any future cell-predicate
+    # scan skip whole files, and each serving join reads cell-local
+    # row groups instead of randomly scattered ones
+    idx.cent.repartitionByRange("cell").write.mode("overwrite").parquet(
+        f"{path}/cent"
+    )
+
+
+def knn_index_load(spark, path: str) -> KnnIndex:
+    """Reload a knn_index_save'd index. The stats dim's lineage is now
+    just a bounded parquet scan (≤ 4^level rows), so no checkpoint is
+    needed — knn_join(index=...) serves from it directly."""
+    level = int(spark.read.parquet(f"{path}/meta").first()["level"])
+    return KnnIndex(
+        level,
+        spark.read.parquet(f"{path}/cent"),
+        spark.read.parquet(f"{path}/stats"),
+    )
+
+
 def knn_join(
     scenes: DataFrame | None,
     queries: DataFrame,

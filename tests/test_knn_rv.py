@@ -319,3 +319,31 @@ def test_knn_crossing_scene_centroid_is_wrapped(spark):
         got = ops.knn_join(scenes, queries, level=level).collect()
         assert got[0]["image_id"] == "XING"
         assert got[0]["dist_m"] == pytest.approx(brute[0]["dist_m"], rel=1e-12)
+
+
+def test_knn_index_save_load_matches_built_inline(spark, scenes_df, tmp_path):
+    """KnnIndex persistence (r4): a cold-loaded index serves results
+    identical to the built-inline index — including the adversarial
+    probes (antimeridian, poleward, out-of-extent) — so
+    index-on-ingest survives SparkSession boundaries."""
+    from pyspark.sql import Row
+
+    idx = ops.knn_index(scenes_df, k_hint=4)
+    path = str(tmp_path / "knn_idx")
+    ops.knn_index_save(idx, path)
+    loaded = ops.knn_index_load(spark, path)
+    assert loaded.level == idx.level
+
+    probes = [
+        Row(query_id=0, lon=-120.0, lat=34.0, k=3),
+        Row(query_id=1, lon=179.9, lat=-4.0, k=2),     # antimeridian
+        Row(query_id=2, lon=-40.0, lat=86.0, k=3),     # poleward
+        Row(query_id=3, lon=60.0, lat=-70.0, k=1),     # out of extent
+        Row(query_id=4, lon=190.0, lat=10.0, k=2),     # unnormalized lon
+    ]
+    q = spark.createDataFrame(probes)
+    got = sorted(map(tuple, ops.knn_join(None, q, index=loaded).collect()))
+    exp = sorted(map(tuple, ops.knn_join(None, q, index=idx).collect()))
+    assert got == exp
+    brute = sorted(map(tuple, ops.knn_bruteforce(scenes_df, q).collect()))
+    assert [g[:3] for g in got] == [b[:3] for b in brute]

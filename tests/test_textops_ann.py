@@ -569,3 +569,41 @@ def test_char_ngrams_short_docs_yield_no_rows(spark):
     # short identical docs in a candidate pair: no grams → no jaccard row
     cand = spark.createDataFrame([Row(doc_a=1, doc_b=2)])
     assert textops.ngram_jaccard_pairs(docs, candidates=cand).count() == 0
+
+
+def test_ivf_index_save_load_serves_identically(spark, tmp_path):
+    """IvfIndex persistence (r4): a cold-loaded index serves the exact
+    rows the built-inline path produces — training and assignment are
+    skipped, and the corpus parquet is laid out as on-disk inverted
+    lists (partitioned by cid)."""
+    import os
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    built = sorted(map(tuple, annops.ivf_topk(emb).collect()))
+
+    idx = annops.ivf_index(emb)
+    path = str(tmp_path / "ivf_idx")
+    annops.ivf_index_save(idx, path)
+    # inverted-list layout: one directory per centroid list
+    dirs = [d for d in os.listdir(os.path.join(path, "corpus"))
+            if d.startswith("cid=")]
+    assert 1 <= len(dirs) <= annops.N_LIST
+
+    loaded = annops.ivf_index_load(spark, path)
+    assert loaded.cents == idx.cents
+    served = sorted(map(tuple, annops.ivf_topk(None, index=loaded).collect()))
+    assert served == built
+
+    # serving from the in-session index (no disk round-trip) agrees too
+    inline = sorted(map(tuple, annops.ivf_topk(None, index=idx).collect()))
+    assert inline == built
+
+    # plan shape: dynamic partition pruning fires on the partitioned
+    # corpus scan — a served query reads only its probed lists' bytes
+    plan = (
+        annops.ivf_topk(None, index=loaded)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruning" in plan.lower()
