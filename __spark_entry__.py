@@ -1286,32 +1286,73 @@ def sql_events_sessions():
 # exotic-geometry paths (antimeridian rings, concave footprints, ...)
 # stay covered by the pytest goldens over datagen fixtures.
 Z_MOSAIC = 6
-_FIXTURE_CACHE: dict[str, str] = {}
+_MM_DIR = os.path.join(_REPO, ".fixtures")
 
 
-def _fixture(spark, name, gen):
-    """Deterministic synthetic payload parquet (cached per process).
-    `gen` receives the datagen module and returns a pyarrow table."""
-    _ship_package(spark)
-    if name not in _FIXTURE_CACHE:
-        import tempfile
+def _mm_fixture_path(name: str) -> str:
+    """Deterministic multimodal fixture parquet at a STABLE path, with
+    EXPECTED columns computed by tests/oracle.py's pure-stdlib scalar
+    implementations — code independent of the engine kernels (see
+    test_imageops.test_scalar_oracles_match_engine_kernels for the
+    exact-equivalence proof, including exact float equality on
+    rms/zcr: every discretizing step is integer math and every float
+    step operates on values exact in float64). queries() reads this
+    parquet and RECOMPUTES from the payload bytes; oracle_sql() just
+    SELECTs the stored expected values — so the driver's
+    rows+schema+hash comparison becomes meaningful for the binary
+    lanes that SQL itself cannot express."""
+    import pyarrow as pa
 
-        from mosaic_engine import datagen
+    from mosaic_engine import datagen
+    from tests import oracle as orc
 
-        d = tempfile.mkdtemp(prefix="entry_fixtures_")
-        p = os.path.join(d, f"{name}.parquet")
-        datagen.write_parquet(gen(datagen), p)
-        _FIXTURE_CACHE[name] = p
-    return spark.read.parquet(_FIXTURE_CACHE[name])
+    path = os.path.join(_MM_DIR, f"{name}.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(_MM_DIR, exist_ok=True)
+    if name == "mm_scenes":
+        t = datagen.gen_scenes(n_scenes=150, paths=6, rows=6, seed=42)
+        exp = [orc.image_invariants_scalar(r) for r in t.to_pylist()]
+        cols = [
+            ("exp_decode_ok", [e[0] for e in exp], pa.bool_()),
+            ("exp_phash_match", [e[1] for e in exp], pa.bool_()),
+            ("exp_caption_ok", [e[2] for e in exp], pa.bool_()),
+        ]
+    elif name == "mm_videos":
+        t = datagen.gen_videos(n=24, seed=42)
+        rows = [orc.video_frames_scalar(r, 3) for r in t.to_pylist()]
+        cols = [
+            ("exp_frame_idx", [[f[0] for f in rs] for rs in rows],
+             pa.list_(pa.int32())),
+            ("exp_frame_phash", [[f[1] for f in rs] for rs in rows],
+             pa.list_(pa.int64())),
+            ("exp_decode_ok", [[f[2] for f in rs] for rs in rows],
+             pa.list_(pa.bool_())),
+        ]
+    elif name == "mm_audio":
+        t = datagen.gen_audio(n=32, seed=42)
+        feats = [orc.audio_features_scalar(r) for r in t.to_pylist()]
+        cols = [
+            ("exp_rate", [f[0] for f in feats], pa.int32()),
+            ("exp_n_samples", [f[1] for f in feats], pa.int32()),
+            ("exp_rms", [f[2] for f in feats], pa.float64()),
+            ("exp_zcr", [f[3] for f in feats], pa.float64()),
+            ("exp_decode_ok", [f[4] for f in feats], pa.bool_()),
+        ]
+    else:
+        raise ValueError(f"unknown multimodal fixture {name!r}")
+    for cname, vals, typ in cols:
+        t = t.append_column(cname, pa.array(vals, typ))
+    tmp = path + ".tmp"
+    datagen.write_parquet(t, tmp)
+    os.replace(tmp, path)
+    return path
 
 
 def _engine_scenes(spark):
-    """Deterministic synthetic scenes parquet (cached per process)."""
-    return _fixture(
-        spark,
-        "scenes",
-        lambda dg: dg.gen_scenes(n_scenes=150, paths=6, rows=6, seed=42),
-    )
+    """Deterministic synthetic scenes parquet (stable on-disk path)."""
+    _ship_package(spark)
+    return spark.read.parquet(_mm_fixture_path("mm_scenes"))
 
 
 def _part_scenes(spark, sf_dir):
@@ -1529,7 +1570,10 @@ def sql_missing_quadkeys():
 
 
 def q_multimodal_image_check(spark, sf_dir):
-    """Image payload invariants (rows-only: binary ops not in SQL)."""
+    """Image payload invariants. Oracled (r4): Spark decodes the
+    payload bytes and recomputes phash/caption checks; the DuckDB twin
+    selects the expected columns tests/oracle.py's independent scalar
+    decoder wrote into the fixture."""
     from mosaic_engine import udfs
 
     return udfs.image_invariants(_engine_scenes(spark)).select(
@@ -1537,36 +1581,61 @@ def q_multimodal_image_check(spark, sf_dir):
     )
 
 
+def sql_multimodal_image_check():
+    p = _mm_fixture_path("mm_scenes")
+    return (
+        "SELECT image_id, exp_decode_ok AS decode_ok, "
+        "exp_phash_match AS phash_match, exp_caption_ok AS caption_ok "
+        f"FROM read_parquet('{p}')"
+    )
+
+
 def q_multimodal_video_frames(spark, sf_dir):
     """Video lane: demux ('rawv' real; compressed codecs stubbed) →
-    frame-sample → per-frame features + phash (rows-only: binary
-    demux/pixel ops not in SQL; the pytest suite verifies values)."""
+    frame-sample → per-frame phash. Oracled (r4): Spark demuxes and
+    hashes the frames; the DuckDB twin unnests the per-frame expected
+    values computed by tests/oracle.py's scalar demux + integer phash."""
     from mosaic_engine import udfs
 
-    vids = _fixture(
-        spark, "videos", lambda dg: dg.gen_videos(n=24, seed=42)
-    )
+    _ship_package(spark)
+    vids = spark.read.parquet(_mm_fixture_path("mm_videos"))
     return udfs.video_frame_features(vids, every_n=3).select(
         "video_id", "frame_idx", "frame_phash", "decode_ok"
     )
 
 
-def q_multimodal_audio_features(spark, sf_dir):
-    """Audio lane: PCM16-WAV decode (real parser; compressed stubbed) →
-    duration/RMS/zero-crossings/spectral bands (rows-only)."""
-    from mosaic_engine import udfs
-    from pyspark.sql import functions as F
-
-    auds = _fixture(
-        spark, "audio", lambda dg: dg.gen_audio(n=32, seed=42)
+def sql_multimodal_video_frames():
+    p = _mm_fixture_path("mm_videos")
+    # parallel UNNESTs of equal-length lists zip positionally in DuckDB
+    return (
+        "SELECT video_id, UNNEST(exp_frame_idx) AS frame_idx, "
+        "UNNEST(exp_frame_phash) AS frame_phash, "
+        "UNNEST(exp_decode_ok) AS decode_ok "
+        f"FROM read_parquet('{p}')"
     )
+
+
+def q_multimodal_audio_features(spark, sf_dir):
+    """Audio lane: PCM16-WAV decode (real parser; compressed stubbed)
+    → duration/RMS/zero-crossings. Oracled (r4): raw float64 rms/zcr
+    compare EXACTLY against the stdlib-wave scalar recompute (integer
+    accumulation makes every float step order-independent — see
+    tests/oracle.py.audio_features_scalar)."""
+    from mosaic_engine import udfs
+
+    _ship_package(spark)
+    auds = spark.read.parquet(_mm_fixture_path("mm_audio"))
     return udfs.audio_track_features(auds).select(
-        "audio_id",
-        "rate",
-        "n_samples",
-        F.round("rms", 6).alias("rms"),
-        F.round("zcr", 6).alias("zcr"),
-        "decode_ok",
+        "audio_id", "rate", "n_samples", "rms", "zcr", "decode_ok"
+    )
+
+
+def sql_multimodal_audio_features():
+    p = _mm_fixture_path("mm_audio")
+    return (
+        "SELECT audio_id, exp_rate AS rate, exp_n_samples AS n_samples, "
+        "exp_rms AS rms, exp_zcr AS zcr, exp_decode_ok AS decode_ok "
+        f"FROM read_parquet('{p}')"
     )
 
 
@@ -1669,8 +1738,13 @@ def oracle_sql() -> dict[str, str]:
         "rv_join": sql_rv_join(),
         "knn_banded": sql_knn_banded(),
         "missing_quadkeys": sql_missing_quadkeys(),
-        # multimodal_image_check / _video_frames / _audio_features:
-        # rows-only by design (binary payload decode/demux/phash/DSP
-        # are not SQL-expressible; their oracles are the pytest suite's
-        # scalar recomputations)
+        # multimodal lanes (r4): the binary decode/demux/phash/DSP is
+        # not SQL-expressible, so the oracle SELECTs expected values
+        # that tests/oracle.py's INDEPENDENT pure-stdlib scalar
+        # implementations wrote into the fixture parquet at generation
+        # time, while the Spark side recomputes them from the payload
+        # bytes — rows+schema+hash compare for real
+        "multimodal_image_check": sql_multimodal_image_check(),
+        "multimodal_video_frames": sql_multimodal_video_frames(),
+        "multimodal_audio_features": sql_multimodal_audio_features(),
     }

@@ -349,3 +349,240 @@ def features_to_mosaic(
 def canonical_json(doc: dict) -> str:
     """The single serializer both oracle and engine use (SURVEY.md §7.3)."""
     return json.dumps(doc, sort_keys=True, separators=(",", ":"))
+
+
+# ------------------------------------------------- multimodal scalar oracles
+# (r4) Pure-stdlib scalar recomputations of the multimodal kernels —
+# no numpy, no mosaic_engine imports — so the driver's hash comparison
+# of the multimodal lanes checks the engine against genuinely
+# independent code. Bit-exactness is provable, not hoped-for: every
+# discretizing step is integer math (luma, block means, phash
+# thresholds), and the float steps (rms, zcr) operate on values that
+# are exact in float64 (k²·2⁻³⁰ with Σk² < 2⁵³), so summation order
+# cannot perturb them (see test_imageops.py's equivalence sweep).
+
+
+def phash64_scalar(px: list) -> int:
+    """Scalar twin of imageops.phash64: integer Rec.601 luma → 8x8
+    integer block means → threshold at the integer mean → signed i64."""
+    h, w = len(px), len(px[0])
+    g = [
+        [(299 * p[0] + 587 * p[1] + 114 * p[2]) // 1000 for p in row]
+        for row in px
+    ]
+    ye = [(i * h) // 8 for i in range(9)]
+    xe = [(j * w) // 8 for j in range(9)]
+    blocks = []
+    for i in range(8):
+        for j in range(8):
+            tot = 0
+            for y in range(ye[i], ye[i + 1]):
+                row = g[y]
+                for x in range(xe[j], xe[j + 1]):
+                    tot += row[x]
+            area = (ye[i + 1] - ye[i]) * (xe[j + 1] - xe[j])
+            blocks.append(tot // max(area, 1))
+    mean = sum(blocks) // 64
+    val = 0
+    for k, b in enumerate(blocks):
+        if b > mean:
+            val |= 1 << k
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def _png_unfilter_scalar(raw: bytes, h: int, stride: int, bpp: int) -> list:
+    """Scalar PNG filter reconstruction (types 0-4)."""
+    out: list[list[int]] = []
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        line = list(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        prev = out[y - 1] if y else [0] * stride
+        rec = [0] * stride
+        for x in range(stride):
+            a = rec[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            v = line[x]
+            if ft == 0:
+                r = v
+            elif ft == 1:
+                r = v + a
+            elif ft == 2:
+                r = v + b
+            elif ft == 3:
+                r = v + (a + b) // 2
+            elif ft == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                r = v + pred
+            else:
+                raise ValueError(f"png filter {ft} invalid")
+            rec[x] = r & 0xFF
+        out.append(rec)
+    return out
+
+
+def decode_image_scalar(data: bytes, w: int, h: int, fmt: str) -> list:
+    """Scalar twin of imageops.decode_image → rows of [r, g, b]."""
+    import struct
+    import zlib
+
+    if fmt == "raw":
+        if len(data) != h * w * 3:
+            raise ValueError("raw size mismatch")
+        return [
+            [list(data[(y * w + x) * 3 : (y * w + x) * 3 + 3]) for x in range(w)]
+            for y in range(h)
+        ]
+    if fmt == "ppm":
+        if not data.startswith(b"P6"):
+            raise ValueError("not a P6 ppm")
+        idx, fields = 2, []
+        while len(fields) < 3:
+            while idx < len(data) and data[idx : idx + 1].isspace():
+                idx += 1
+            if data[idx : idx + 1] == b"#":
+                idx = data.index(b"\n", idx) + 1
+                continue
+            start = idx
+            while idx < len(data) and not data[idx : idx + 1].isspace():
+                idx += 1
+            fields.append(int(data[start:idx]))
+        idx += 1
+        pw, ph, maxval = fields
+        if (pw, ph) != (w, h) or maxval != 255:
+            raise ValueError("ppm header mismatch")
+        body = data[idx:]
+        if len(body) != h * w * 3:
+            raise ValueError("ppm raster size mismatch")
+        return [
+            [list(body[(y * w + x) * 3 : (y * w + x) * 3 + 3]) for x in range(w)]
+            for y in range(h)
+        ]
+    if fmt == "png":
+        sig = b"\x89PNG\r\n\x1a\n"
+        if not data.startswith(sig):
+            raise ValueError("not a png")
+        idx, idat = len(sig), b""
+        width = height = bitdepth = colortype = None
+        while idx < len(data):
+            (length,) = struct.unpack(">I", data[idx : idx + 4])
+            tag = data[idx + 4 : idx + 8]
+            payload = data[idx + 8 : idx + 8 + length]
+            idx += 12 + length
+            if tag == b"IHDR":
+                width, height, bitdepth, colortype = struct.unpack(
+                    ">IIBB", payload[:10]
+                )
+            elif tag == b"IDAT":
+                idat += payload
+            elif tag == b"IEND":
+                break
+        if bitdepth != 8 or colortype not in (0, 2, 6):
+            raise NotImplementedError("png bitdepth/colortype unsupported")
+        channels = {0: 1, 2: 3, 6: 4}[colortype]
+        stride = width * channels
+        raw = zlib.decompress(idat)
+        if len(raw) != height * (1 + stride):
+            raise ValueError("png raster size mismatch")
+        rec = _png_unfilter_scalar(raw, height, stride, channels)
+        if (width, height) != (w, h):
+            raise ValueError("png header mismatch")
+        out = []
+        for y in range(height):
+            row = []
+            for x in range(width):
+                if channels == 1:
+                    v = rec[y][x]
+                    row.append([v, v, v])
+                else:
+                    row.append(rec[y][x * channels : x * channels + 3])
+            out.append(row)
+        return out
+    raise NotImplementedError(f"codec not available: {fmt}")
+
+
+def image_invariants_scalar(rec: dict) -> tuple:
+    """Scalar twin of udfs.image_invariants for one scene row →
+    (decode_ok, phash_match, caption_ok). Lossless codecs mean the
+    re-encode round-trip can only fail if the decode itself does."""
+    try:
+        px = decode_image_scalar(
+            rec["bytes"], int(rec["w"]), int(rec["h"]), rec["fmt"]
+        )
+        ok = True
+        ph = phash64_scalar(px)
+        pv = rec["phash"]
+        phm = pv is not None and ph == int(pv)
+    except Exception:
+        ok, phm = False, False
+    cap, iid = rec.get("caption"), rec.get("image_id")
+    cap_ok = iid is not None and cap is not None and iid in cap
+    return ok, phm, cap_ok
+
+
+def video_frames_scalar(rec: dict, every_n: int) -> list:
+    """Scalar twin of udfs.video_frame_features for one video row →
+    [(frame_idx, frame_phash, decode_ok), ...] (sentinel row on
+    undecodable payloads, matching the lane's no-silent-drop rule)."""
+    import struct
+
+    every_n = max(int(every_n), 1)
+    data, fmt = rec["bytes"], rec["fmt"]
+    try:
+        if fmt != "rawv":
+            raise NotImplementedError(f"video codec {fmt}")
+        b = bytes(data)
+        if b[:4] != b"RAWV" or len(b) < 16:
+            raise ValueError("corrupt rawv")
+        n, h, w = struct.unpack(">III", b[4:16])
+        if n == 0 or len(b) < 16 + n * h * w * 3:
+            raise ValueError("corrupt rawv")
+    except (NotImplementedError, ValueError, struct.error):
+        return [(-1, 0, False)]
+    rows = []
+    fsize = h * w * 3
+    for j, fi in enumerate(range(0, n, every_n)):
+        off = 16 + fi * fsize
+        frame = [
+            [
+                list(b[off + (y * w + x) * 3 : off + (y * w + x) * 3 + 3])
+                for x in range(w)
+            ]
+            for y in range(h)
+        ]
+        rows.append((j * every_n, phash64_scalar(frame), True))
+    return rows
+
+
+def audio_features_scalar(rec: dict) -> tuple:
+    """Scalar twin of udfs.audio_track_features for one audio row →
+    (rate, n_samples, rms, zcr, decode_ok). Decodes via the stdlib
+    `wave` module (an independent RIFF parser); rms/zcr recomputed
+    from the raw int16 samples with exact-integer accumulation:
+    rms = sqrt((Σk²·2⁻³⁰)/n) with Σk² < 2⁵³ — every float64 step
+    exact, so it equals the engine's vectorized result bit-for-bit."""
+    import io
+    import struct
+    import wave
+
+    data, fmt = rec["bytes"], rec["fmt"]
+    try:
+        if fmt != "wav":
+            raise NotImplementedError(f"audio codec {fmt}")
+        with wave.open(io.BytesIO(bytes(data))) as wf:
+            if wf.getsampwidth() != 2 or wf.getnchannels() != 1:
+                raise NotImplementedError("only mono PCM16 in the oracle")
+            rate = wf.getframerate()
+            n = wf.getnframes()
+            k = struct.unpack(f"<{n}h", wf.readframes(n))
+    except (NotImplementedError, ValueError, struct.error, EOFError, wave.Error):
+        return 0, 0, 0.0, 0.0, False
+    sum_k2 = sum(v * v for v in k)
+    rms = math.sqrt((sum_k2 / 2.0**30) / n) if n else 0.0
+    zc = sum(1 for i in range(n - 1) if (k[i] < 0) != (k[i + 1] < 0))
+    zcr = zc / (n - 1) if n > 1 else 0.0
+    return int(rate), int(n), rms, zcr, True

@@ -270,3 +270,55 @@ def test_video_lane_every_n_clamped(spark, tmp_path):
     for r in out.collect():
         if r["decode_ok"]:
             assert r["frame_idx"] in (0, 1, 2)
+
+
+def test_scalar_oracles_match_engine_kernels():
+    """(r4) The pure-stdlib scalar oracles in tests/oracle.py —
+    independent decode + integer phash + exact-integer rms/zcr — agree
+    with the engine kernels EXACTLY (== on ints and floats, no approx)
+    across every fixture asset class. This is the equivalence proof
+    behind the driver-facing multimodal oracles."""
+    from mosaic_engine import datagen
+    from tests import oracle as orc
+
+    t = datagen.gen_scenes(n_scenes=60, paths=4, rows=4, seed=42)
+    n_img = 0
+    for rec in t.to_pylist():
+        px = im.decode_image(rec["bytes"], rec["w"], rec["h"], rec["fmt"])
+        assert orc.decode_image_scalar(
+            rec["bytes"], rec["w"], rec["h"], rec["fmt"]
+        ) == px.tolist()
+        assert orc.phash64_scalar(px.tolist()) == im.phash64(px)
+        ok, phm, cap = orc.image_invariants_scalar(rec)
+        assert ok and phm and cap
+        n_img += 1
+    assert n_img >= 50
+
+    vt = datagen.gen_videos(n=12, seed=42)
+    saw_fail = saw_ok = False
+    for rec in vt.to_pylist():
+        rows = orc.video_frames_scalar(rec, 3)
+        try:
+            frames = im.sample_video_frames(rec["bytes"], rec["fmt"], 3)
+            exp = [(j * 3, im.phash64(fr), True)
+                   for j, fr in enumerate(frames)]
+            saw_ok = True
+        except (NotImplementedError, ValueError):
+            exp = [(-1, 0, False)]
+            saw_fail = True
+        assert rows == exp
+    assert saw_ok and saw_fail  # both lanes exercised
+
+    at = datagen.gen_audio(n=16, seed=42)
+    saw_fail = saw_ok = False
+    for rec in at.to_pylist():
+        got = orc.audio_features_scalar(rec)
+        try:
+            s, rate = im.decode_audio(rec["bytes"], rec["fmt"])
+            f = im.audio_features(s, rate)
+            assert got == (rate, len(s), f["rms"], f["zcr"], True)
+            saw_ok = True
+        except (NotImplementedError, ValueError):
+            assert got == (0, 0, 0.0, 0.0, False)
+            saw_fail = True
+    assert saw_ok and saw_fail
