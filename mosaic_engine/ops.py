@@ -646,19 +646,44 @@ def knn_bruteforce(
 
 # --------------------------------------------------- raster ↔ vector join
 def raster_vector_join(
-    scenes: DataFrame, vectors: DataFrame, zoom: int
+    scenes: DataFrame, vectors: DataFrame, zoom: int,
+    salt_buckets: int = 8,
 ) -> DataFrame:
     """J4: scene footprints × vector polygons via quadkey co-membership.
 
     Both sides explode through the same fused kernel, then a hash
     equi-join on quadkey — the canonical raster↔vector plan at scale
-    (pre-partitionable, skew-saltable, no geometry in the join itself).
-    """
-    s_qk = udfs.explode_to_quadkeys(scenes, zoom, passthrough=["image_id"])
-    v_qk = udfs.ring_to_quadkeys(vectors, zoom, "feature_id")
-    joined = s_qk.select("cell", "image_id").join(
-        v_qk.select("cell", "feature_id"), "cell"
+    (pre-partitionable, no geometry in the join itself).
+
+    Skew (r4 — VERDICT r3 'Next' #6): a dense coastal cell holding
+    many scenes × many features concentrates that cell's entire
+    within-cell cross product in ONE shuffle key. The scene side
+    therefore carries salt = hash(image_id) % salt_buckets and the
+    (orders-of-magnitude smaller) vector side replicates across all
+    salts, so a hot cell's work spreads over salt_buckets tasks while
+    the emitted pair multiset is IDENTICAL — each scene row joins
+    under exactly one salt. The output's size is inherent to the
+    semantics (every co-located pair); salting bounds per-task time,
+    not result cardinality. salt_buckets=1 disables."""
+    if salt_buckets < 1:
+        raise ValueError(f"salt_buckets must be >= 1 (got {salt_buckets})")
+    s_qk = udfs.explode_to_quadkeys(
+        scenes, zoom, passthrough=["image_id"]
+    ).select(
+        "cell",
+        "image_id",
+        F.pmod(F.xxhash64("image_id"), F.lit(salt_buckets))
+        .cast("int")
+        .alias("salt"),
     )
+    v_qk = udfs.ring_to_quadkeys(vectors, zoom, "feature_id").select(
+        "cell",
+        "feature_id",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(salt_buckets)])
+        ).alias("salt"),
+    )
+    joined = s_qk.join(v_qk, ["cell", "salt"])
     u = udfs.make_scalar_udfs()
     return joined.select(
         u["cell_quadkey"](F.col("cell")).alias("quadkey"),

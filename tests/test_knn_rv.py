@@ -347,3 +347,75 @@ def test_knn_index_save_load_matches_built_inline(spark, scenes_df, tmp_path):
     assert got == exp
     brute = sorted(map(tuple, ops.knn_bruteforce(scenes_df, q).collect()))
     assert [g[:3] for g in got] == [b[:3] for b in brute]
+
+
+def test_rv_join_salted_shape_on_hotspot(spark):
+    """(r4) raster_vector_join skew handling: on a deliberately skewed
+    fixture (one cell holding most scenes AND most features) the salted
+    plan must (a) emit the exact same pair multiset as the unsalted
+    join, and (b) split the hot cell's scene rows across salt_buckets
+    join keys so no single task owns the whole within-cell cross
+    product."""
+    from pyspark.sql import Row
+
+    from mosaic_engine import udfs
+
+    # 200 scenes and 40 features all stacked on one ~1° cell, plus a
+    # few background rows elsewhere
+    scenes = spark.createDataFrame(
+        [
+            Row(image_id=f"HOT_{i:04d}", min_lon=10.0, min_lat=45.0,
+                max_lon=10.4, max_lat=45.4,
+                fp_xs=[10.0, 10.4, 10.4, 10.0, 10.0],
+                fp_ys=[45.0, 45.0, 45.4, 45.4, 45.0])
+            for i in range(200)
+        ]
+        + [
+            Row(image_id=f"BG_{i:04d}", min_lon=-60.0 + i, min_lat=-10.0,
+                max_lon=-59.6 + i, max_lat=-9.6,
+                fp_xs=[-60.0 + i, -59.6 + i, -59.6 + i, -60.0 + i, -60.0 + i],
+                fp_ys=[-10.0, -10.0, -9.6, -9.6, -10.0])
+            for i in range(5)
+        ]
+    )
+    vectors = spark.createDataFrame(
+        [
+            Row(feature_id=i, xs=[10.0, 10.4, 10.4, 10.0, 10.0],
+                ys=[45.0, 45.0, 45.4, 45.4, 45.0])
+            for i in range(40)
+        ]
+        + [
+            Row(feature_id=100 + i,
+                xs=[-60.0 + i, -59.6 + i, -59.6 + i, -60.0 + i, -60.0 + i],
+                ys=[-10.0, -10.0, -9.6, -9.6, -10.0])
+            for i in range(3)
+        ]
+    )
+    salted = ops.raster_vector_join(scenes, vectors, 8, salt_buckets=8)
+    plain = ops.raster_vector_join(scenes, vectors, 8, salt_buckets=1)
+    a = sorted(map(tuple, salted.collect()))
+    b = sorted(map(tuple, plain.collect()))
+    assert a == b and len(a) >= 200 * 40  # hot cross product present
+
+    # salted shape: the hot cell's scene rows spread across >1 salt
+    s_qk = udfs.explode_to_quadkeys(scenes, 8, passthrough=["image_id"])
+    from pyspark.sql import functions as F
+
+    hot_cell = (
+        s_qk.groupBy("cell").count().orderBy(F.desc("count")).first()["cell"]
+    )
+    n_salts = (
+        s_qk.filter(F.col("cell") == hot_cell)
+        .select(
+            F.pmod(F.xxhash64("image_id"), F.lit(8)).cast("int").alias("s")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_salts == 8  # 200 hashed ids cover all 8 salts w.h.p. (deterministic fixture)
+
+    # the join operates on (cell, salt), visible in the plan
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "salt" in plan
+    with pytest.raises(ValueError):
+        ops.raster_vector_join(scenes, vectors, 8, salt_buckets=0)
