@@ -1343,7 +1343,11 @@ def _mm_fixture_path(name: str) -> str:
         raise ValueError(f"unknown multimodal fixture {name!r}")
     for cname, vals, typ in cols:
         t = t.append_column(cname, pa.array(vals, typ))
-    tmp = path + ".tmp"
+    # unique tmp + atomic rename: concurrent callers (driver threads)
+    # each build the identical deterministic table; last rename wins
+    import threading
+
+    tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
     datagen.write_parquet(t, tmp)
     os.replace(tmp, path)
     return path
