@@ -116,7 +116,7 @@ def main():
     # cold-index serving (r4): the index persisted at ingest time and
     # reloaded from parquet in a fresh session — what a restart of the
     # lookup service actually pays per probe batch
-    idx_path = os.path.join(CACHE, f"knn_index_{N_SCENES}")
+    idx_path = os.path.join(CACHE, f"knn_index_v2_{N_SCENES}")
     if not os.path.exists(os.path.join(idx_path, "meta")):
         ops.knn_index_save(knn_idx, idx_path)
     timed(

@@ -265,15 +265,30 @@ def knn_pick_level(n_scenes: int, k: int) -> int:
 @dataclass
 class KnnIndex:
     """Reusable kNN corpus index: the banding level, the centroid table
-    keyed by packed cell, and the localCheckpointed per-cell stats dim.
-    Build once with knn_index, serve many probe batches through
-    knn_join(index=...) — repeated batches skip the corpus-wide stats
-    aggregation (the serving-at-scale pattern: index on ingest, query
-    per request)."""
+    keyed by packed cell (plus its coarse storage region `scell` — the
+    on-disk partition key, see knn_index_save), and the
+    localCheckpointed per-cell stats dim. Build once with knn_index,
+    serve many probe batches through knn_join(index=...) — repeated
+    batches skip the corpus-wide stats aggregation (the
+    serving-at-scale pattern: index on ingest, query per request)."""
 
     level: int
-    cent: DataFrame  # (image_id, slon, slat, cell)
+    cent: DataFrame  # (image_id, slon, slat, cell, scell)
     stats: DataFrame  # (cell, n_in_cell, cw, cs, ce, cn), checkpointed
+
+
+KNN_STORE_DROP = 4  # scell = cell's parent 4 levels up (<=256 regions)
+
+
+def _storage_cell_col(cell: Column, level: int) -> Column:
+    """Coarse storage region of a packed (x<<30)|y cell: drop
+    KNN_STORE_DROP levels (clamped at 0). The partition key for
+    knn_index_save's on-disk layout — at most 4^KNN_STORE_DROP = 256
+    nonempty regions regardless of banding level."""
+    d = max(level - KNN_STORE_DROP, 0)
+    x = F.shiftright(cell, 30)
+    y = cell - F.shiftleft(x, 30)
+    return F.shiftleft(F.shiftright(x, d), 30) + F.shiftright(y, d)
 
 
 def _tile_xy_cols(lon: Column, lat: Column, level: int) -> tuple[Column, Column]:
@@ -352,6 +367,7 @@ def knn_index(
     cent = _scene_centroids(scenes)
     sx, sy = _tile_xy_cols(F.col("slon"), F.col("slat"), level)
     sc = cent.withColumn("cell", F.shiftleft(sx, 30) + sy)
+    sc = sc.withColumn("scell", _storage_cell_col(F.col("cell"), level))
     stats = (
         sc.groupBy("cell")
         .agg(F.count("*").alias("n_in_cell"))
@@ -376,25 +392,30 @@ def knn_index_save(idx: KnnIndex, path: str) -> None:
         "overwrite"
     ).parquet(f"{path}/meta")
     idx.stats.write.mode("overwrite").parquet(f"{path}/stats")
-    # range-cluster the (corpus-sized) centroid table on cell: parquet
-    # row-group min/max on `cell` then lets any future cell-predicate
-    # scan skip whole files, and each serving join reads cell-local
-    # row groups instead of randomly scattered ones
-    idx.cent.repartitionByRange("cell").write.mode("overwrite").parquet(
-        f"{path}/cent"
-    )
+    # the (corpus-sized) centroid table is written PARTITIONED BY its
+    # coarse storage region (≤ 4^KNN_STORE_DROP dirs) and
+    # range-clustered on cell within each region: a served probe
+    # batch's scoring join carries scell as a join key, so Spark's
+    # dynamic partition pruning reads ONLY the regions the R*-pruned
+    # candidate cells touch — the geo twin of the IVF inverted-list
+    # layout (annops.ivf_index_save)
+    idx.cent.repartitionByRange("scell", "cell").write.mode(
+        "overwrite"
+    ).partitionBy("scell").parquet(f"{path}/cent")
 
 
 def knn_index_load(spark, path: str) -> KnnIndex:
     """Reload a knn_index_save'd index. The stats dim's lineage is now
     just a bounded parquet scan (≤ 4^level rows), so no checkpoint is
-    needed — knn_join(index=...) serves from it directly."""
+    needed — knn_join(index=...) serves from it directly. The scell
+    partition column comes back type-inferred, so it is re-cast to
+    long to keep the serving join's key type identical to the
+    built-inline path."""
     level = int(spark.read.parquet(f"{path}/meta").first()["level"])
-    return KnnIndex(
-        level,
-        spark.read.parquet(f"{path}/cent"),
-        spark.read.parquet(f"{path}/stats"),
+    cent = spark.read.parquet(f"{path}/cent").withColumn(
+        "scell", F.col("scell").cast("long")
     )
+    return KnnIndex(level, cent, spark.read.parquet(f"{path}/stats"))
 
 
 def knn_join(
@@ -579,7 +600,11 @@ def knn_join(
     )
 
     # ---- exact scoring over the pruned candidate cells ----
-    joined = sc.join(F.broadcast(cand), "cell")
+    # scell (a pure function of cell) rides along as a join key so a
+    # partitioned on-disk index (knn_index_save) gets dynamic partition
+    # pruning: only the storage regions holding candidate cells are read
+    cand = cand.withColumn("scell", _storage_cell_col(F.col("cell"), level))
+    joined = sc.join(F.broadcast(cand), ["scell", "cell"])
     scored = joined.withColumn(
         "dist_m", u["haversine_m"]("lon", "lat", "slon", "slat")
     )

@@ -348,6 +348,23 @@ def test_knn_index_save_load_matches_built_inline(spark, scenes_df, tmp_path):
     brute = sorted(map(tuple, ops.knn_bruteforce(scenes_df, q).collect()))
     assert [g[:3] for g in got] == [b[:3] for b in brute]
 
+    # on-disk layout: the centroid table is partitioned by its coarse
+    # storage region and the served scoring join carries scell, so
+    # dynamic partition pruning reads only the candidate regions
+    import os
+
+    assert any(
+        d.startswith("scell=")
+        for d in os.listdir(os.path.join(path, "cent"))
+    )
+    plan = (
+        ops.knn_join(None, q, index=loaded)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruning" in plan.lower()
+
 
 def test_rv_join_salted_shape_on_hotspot(spark):
     """(r4) raster_vector_join skew handling: on a deliberately skewed
