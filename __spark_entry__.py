@@ -1301,12 +1301,24 @@ def _mm_fixture_path(name: str) -> str:
     SELECTs the stored expected values — so the driver's
     rows+schema+hash comparison becomes meaningful for the binary
     lanes that SQL itself cannot express."""
+    import hashlib
+
     import pyarrow as pa
 
-    from mosaic_engine import datagen
+    from mosaic_engine import datagen, imageops
     from tests import oracle as orc
 
-    path = os.path.join(_MM_DIR, f"{name}.parquet")
+    # the cache key embeds a hash of the three source files whose
+    # behavior the stored expected values depend on — editing datagen,
+    # the scalar oracles, or the engine codecs auto-invalidates the
+    # fixture instead of silently serving stale expectations (r4
+    # review: a stable path with no version key would compare a new
+    # engine against old oracle columns)
+    h = hashlib.sha256()
+    for mod in (datagen, imageops, orc):
+        with open(mod.__file__, "rb") as fh:
+            h.update(fh.read())
+    path = os.path.join(_MM_DIR, f"{name}.{h.hexdigest()[:10]}.parquet")
     if os.path.exists(path):
         return path
     os.makedirs(_MM_DIR, exist_ok=True)

@@ -116,8 +116,11 @@ def main():
     # cold-index serving (r4): the index persisted at ingest time and
     # reloaded from parquet in a fresh session — what a restart of the
     # lookup service actually pays per probe batch
+    # existence sentinel = the LAST artifact's _SUCCESS marker (Spark
+    # creates output dirs before committing), so an interrupted save can
+    # never wedge later runs on a partial index dir
     idx_path = os.path.join(CACHE, f"knn_index_v2_{N_SCENES}")
-    if not os.path.exists(os.path.join(idx_path, "meta")):
+    if not os.path.exists(os.path.join(idx_path, "cent", "_SUCCESS")):
         ops.knn_index_save(knn_idx, idx_path)
     timed(
         "knn_banded_cold_index",
@@ -158,7 +161,7 @@ def main():
     ivf_path = os.path.join(
         CACHE, f"ivf_index_{SF_DIR.rstrip('/').split('sf')[-1]}"
     )
-    if not os.path.exists(os.path.join(ivf_path, "cents")):
+    if not os.path.exists(os.path.join(ivf_path, "corpus", "_SUCCESS")):
         annops.ivf_index_save(annops.ivf_index(emb), ivf_path)
     timed(
         "ann_ivf_served",

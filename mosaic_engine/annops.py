@@ -207,7 +207,12 @@ N_LIST = 16
 IVF_ITERS = 3
 
 
-def ivf_centroids(emb: DataFrame, n_list: int = N_LIST, iters: int = IVF_ITERS):
+def ivf_centroids(
+    emb: DataFrame,
+    n_list: int = N_LIST,
+    iters: int = IVF_ITERS,
+    base: DataFrame | None = None,
+):
     """Deterministic Lloyd k-means centroids over quantized embeddings —
     IVF's training step, bit-reproducible in any engine (the SQL oracle
     re-derives identical centroids from the data alone):
@@ -230,11 +235,15 @@ def ivf_centroids(emb: DataFrame, n_list: int = N_LIST, iters: int = IVF_ITERS):
     ~10^12 rows per cluster; past that, switch BOTH engines to integer
     floor division.
     """
-    base = (
-        _nonzero(with_quantized(emb))
-        .select("vec_id", "q")
-        .localCheckpoint(eager=True)
-    )
+    if base is None:
+        # callers holding an already-materialized quantization (see
+        # ivf_index) pass it in so the embedding scan + quantize kernel
+        # run once per ingest, not once per phase (r4 review)
+        base = (
+            _nonzero(with_quantized(emb))
+            .select("vec_id", "q")
+            .localCheckpoint(eager=True)
+        )
     cents = [
         (int(r["vec_id"]), [int(v) for v in r["q"]])
         for r in base.filter(F.col("vec_id") < n_list).collect()
@@ -331,11 +340,15 @@ class IvfIndex:
 def ivf_index(
     emb: DataFrame, n_list: int = N_LIST, iters: int = IVF_ITERS
 ) -> IvfIndex:
-    """Train centroids and assign the corpus once (see IvfIndex)."""
-    cents = ivf_centroids(emb, n_list=n_list, iters=iters)
-    corpus = _nonzero(with_quantized(emb)).withColumn(
-        "cid", _ivf_assign_col(cents, "q")
+    """Train centroids and assign the corpus once (see IvfIndex). The
+    quantization is materialized ONCE and shared by both phases —
+    training iterations and the corpus assignment read the same
+    checkpointed base instead of re-running the embedding scan."""
+    full = _nonzero(with_quantized(emb)).localCheckpoint(eager=True)
+    cents = ivf_centroids(
+        emb, n_list=n_list, iters=iters, base=full.select("vec_id", "q")
     )
+    corpus = full.withColumn("cid", _ivf_assign_col(cents, "q"))
     return IvfIndex(cents, corpus)
 
 

@@ -277,15 +277,17 @@ class KnnIndex:
     stats: DataFrame  # (cell, n_in_cell, cw, cs, ce, cn), checkpointed
 
 
-KNN_STORE_DROP = 4  # scell = cell's parent 4 levels up (<=256 regions)
+KNN_STORE_LEVELS = 4  # scell keeps at most this many levels (<=256 regions)
 
 
 def _storage_cell_col(cell: Column, level: int) -> Column:
-    """Coarse storage region of a packed (x<<30)|y cell: drop
-    KNN_STORE_DROP levels (clamped at 0). The partition key for
-    knn_index_save's on-disk layout — at most 4^KNN_STORE_DROP = 256
-    nonempty regions regardless of banding level."""
-    d = max(level - KNN_STORE_DROP, 0)
+    """Coarse storage region of a packed (x<<30)|y cell: shift away
+    all but the top KNN_STORE_LEVELS levels (d = level -
+    KNN_STORE_LEVELS, clamped at 0 — the shift DEPENDS on level; a
+    fixed shift would blow the bound at fine levels). The partition
+    key for knn_index_save's on-disk layout — at most
+    4^KNN_STORE_LEVELS = 256 nonempty regions at any banding level."""
+    d = max(level - KNN_STORE_LEVELS, 0)
     x = F.shiftright(cell, 30)
     y = cell - F.shiftleft(x, 30)
     return F.shiftleft(F.shiftright(x, d), 30) + F.shiftright(y, d)
@@ -393,7 +395,7 @@ def knn_index_save(idx: KnnIndex, path: str) -> None:
     ).parquet(f"{path}/meta")
     idx.stats.write.mode("overwrite").parquet(f"{path}/stats")
     # the (corpus-sized) centroid table is written PARTITIONED BY its
-    # coarse storage region (≤ 4^KNN_STORE_DROP dirs) and
+    # coarse storage region (≤ 4^KNN_STORE_LEVELS dirs) and
     # range-clustered on cell within each region: a served probe
     # batch's scoring join carries scell as a join key, so Spark's
     # dynamic partition pruning reads ONLY the regions the R*-pruned

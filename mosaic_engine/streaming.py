@@ -101,9 +101,14 @@ def run_incremental(
             # log's identity: a _chk RECREATED by a different query
             # after migration would restart batch ids at 0 — exactly
             # the silent-skip this guard exists to prevent (ADVICE r3).
-            # Adopt the observed qid only when its offset log provably
+            # Adopt the observed qid only when (a) its offset log
             # covers every folded batch id (sequential ids → coverage
-            # = max recorded offset >= max folded id).
+            # = max recorded offset >= max folded id) AND (b) its
+            # file-source log shows each folded batch was assigned
+            # from THIS scenes_dir — id coverage alone would accept a
+            # checkpoint restored from a sibling run over different
+            # input, whose seen-files set would then suppress delivery
+            # of files this work_dir never processed (r4 review).
             odir = os.path.join(work_dir, "_chk", "offsets")
             recorded = [
                 int(f) for f in (
@@ -118,6 +123,15 @@ def run_incremental(
                     " — this checkpoint did not assign the folded batch "
                     "ids, so replayed input would recycle them and be "
                     "silently dropped. Restore the original _chk or "
+                    "start a fresh work_dir."
+                )
+            if not _sources_log_covers(work_dir, man["folded"], scenes_dir):
+                raise ValueError(
+                    f"work_dir {work_dir}'s _chk file-source log does "
+                    "not show the folded batch ids being assigned from "
+                    f"{scenes_dir} — the checkpoint appears to belong "
+                    "to a different input/run; adopting it would "
+                    "silently skip input. Restore the original _chk or "
                     "start a fresh work_dir."
                 )
             man["chk_id"] = qid
@@ -208,6 +222,39 @@ def _write_manifest(work_dir: str, man: dict) -> None:
         os.fsync(dfd)
     finally:
         os.close(dfd)
+
+
+def _sources_log_covers(
+    work_dir: str, folded: list, scenes_dir: str
+) -> bool:
+    """True iff the _chk file-source log has an entry for every folded
+    batch id and every file it records lives under `scenes_dir` — the
+    lineage evidence that THIS checkpoint assigned the folded batches
+    from this work_dir's input (see the adoption guard)."""
+    import json as _json
+    from urllib.parse import urlparse
+
+    sdir = os.path.join(work_dir, "_chk", "sources", "0")
+    root = os.path.realpath(scenes_dir)
+    for bid in folded:
+        f = os.path.join(sdir, str(int(bid)))
+        if not os.path.exists(f):
+            return False
+        with open(f) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line.startswith("{"):
+                    continue  # "v1" header
+                try:
+                    p = _json.loads(line).get("path", "")
+                except ValueError:
+                    return False
+                path = urlparse(p).path if "://" in p or p.startswith(
+                    "file:"
+                ) else p
+                if not os.path.realpath(path).startswith(root + os.sep):
+                    return False
+    return True
 
 
 def _chk_query_id(work_dir: str) -> str | None:

@@ -393,7 +393,8 @@ def test_orphaned_manifest_adopts_or_refuses_checkpoint(spark, tmp_path):
     man["chk_id"] = None
     streaming._write_manifest(work, man)
     chk = os.path.join(work, "_chk")
-    shutil.rmtree(chk)
+    real_chk = chk + ".bak"
+    shutil.move(chk, real_chk)
     os.makedirs(os.path.join(chk, "offsets"))
     with open(os.path.join(chk, "metadata"), "w") as f:
         json.dump({"id": "imposter"}, f)
@@ -401,3 +402,34 @@ def test_orphaned_manifest_adopts_or_refuses_checkpoint(spark, tmp_path):
         f.write("v1")
     with pytest.raises(ValueError, match="offset log"):
         streaming.run_incremental(spark, scenes_dir, cfg, work)
+
+    # a FOREIGN _chk whose batch ids DO cover the folded set but whose
+    # file-source log shows the batches were assigned from a different
+    # input directory → refusal on lineage, not just id coverage
+    # (r4 review: id coverage alone would adopt a sibling run's
+    # checkpoint and silently suppress this work_dir's own input)
+    for bid in (0, 1, 2):
+        with open(os.path.join(chk, "offsets", str(bid)), "w") as f:
+            f.write("v1")
+    os.makedirs(os.path.join(chk, "sources", "0"))
+    for bid in (0, 1, 2):
+        with open(os.path.join(chk, "sources", "0", str(bid)), "w") as f:
+            f.write(
+                "v1\n"
+                + json.dumps(
+                    {"path": "file:///somewhere/else/p.parquet",
+                     "timestamp": 0, "batchId": bid}
+                )
+            )
+    with pytest.raises(ValueError, match="file-source log"):
+        streaming.run_incremental(spark, scenes_dir, cfg, work)
+
+    # restoring the ORIGINAL _chk makes adoption succeed again (its
+    # sources entries point under scenes_dir)
+    shutil.rmtree(chk)
+    shutil.move(real_chk, chk)
+    man = streaming._read_manifest(work)
+    man["chk_id"] = None
+    streaming._write_manifest(work, man)
+    assert streaming.run_incremental(spark, scenes_dir, cfg, work) == 0
+    assert streaming._read_manifest(work)["chk_id"] == real_qid
