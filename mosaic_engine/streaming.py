@@ -236,24 +236,51 @@ def _sources_log_covers(
 
     sdir = os.path.join(work_dir, "_chk", "sources", "0")
     root = os.path.realpath(scenes_dir)
+    if not os.path.isdir(sdir):
+        return False
+    # Spark compacts this log every N batches into "<n>.compact" files
+    # that carry ALL entries up to n (older per-batch files are GC'd),
+    # so a batch id resolves to its own file or the first compact at
+    # or past it — a legitimate old checkpoint must not be refused
+    # just because its early per-batch files were compacted away.
+    names = os.listdir(sdir)
+    compacts = sorted(
+        int(n.split(".")[0]) for n in names if n.endswith(".compact")
+    )
+
+    def _entries(bid: int):
+        if str(bid) in names:
+            yield from open(os.path.join(sdir, str(bid)))
+            return
+        for c in compacts:
+            if c >= bid:
+                for line in open(os.path.join(sdir, f"{c}.compact")):
+                    try:
+                        if _json.loads(line.strip()).get("batchId") == bid:
+                            yield line
+                    except ValueError:
+                        continue  # "v1" header
+                return
+        yield from ()  # no evidence for this batch id
+
     for bid in folded:
-        f = os.path.join(sdir, str(int(bid)))
-        if not os.path.exists(f):
+        saw = False
+        for line in _entries(int(bid)):
+            line = line.strip()
+            if not line.startswith("{"):
+                continue  # "v1" header
+            try:
+                p = _json.loads(line).get("path", "")
+            except ValueError:
+                return False
+            saw = True
+            path = urlparse(p).path if "://" in p or p.startswith(
+                "file:"
+            ) else p
+            if not os.path.realpath(path).startswith(root + os.sep):
+                return False
+        if not saw:
             return False
-        with open(f) as fh:
-            for line in fh:
-                line = line.strip()
-                if not line.startswith("{"):
-                    continue  # "v1" header
-                try:
-                    p = _json.loads(line).get("path", "")
-                except ValueError:
-                    return False
-                path = urlparse(p).path if "://" in p or p.startswith(
-                    "file:"
-                ) else p
-                if not os.path.realpath(path).startswith(root + os.sep):
-                    return False
     return True
 
 

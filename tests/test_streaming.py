@@ -425,9 +425,23 @@ def test_orphaned_manifest_adopts_or_refuses_checkpoint(spark, tmp_path):
         streaming.run_incremental(spark, scenes_dir, cfg, work)
 
     # restoring the ORIGINAL _chk makes adoption succeed again (its
-    # sources entries point under scenes_dir)
+    # sources entries point under scenes_dir) — and it still succeeds
+    # after Spark-style log compaction replaces the per-batch sources
+    # files with one "<n>.compact" carrying all entries
     shutil.rmtree(chk)
     shutil.move(real_chk, chk)
+    srcdir = os.path.join(chk, "sources", "0")
+    per_batch = sorted(
+        f for f in os.listdir(srcdir) if f.isdigit()
+    )
+    lines = ["v1"]
+    for f in per_batch:
+        with open(os.path.join(srcdir, f)) as fh:
+            lines += [l.strip() for l in fh if l.strip().startswith("{")]
+        os.remove(os.path.join(srcdir, f))
+    with open(os.path.join(srcdir, f"{max(map(int, per_batch))}.compact"),
+              "w") as fh:
+        fh.write("\n".join(lines))
     man = streaming._read_manifest(work)
     man["chk_id"] = None
     streaming._write_manifest(work, man)
