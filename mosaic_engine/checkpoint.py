@@ -4,9 +4,11 @@ Partition unit = quadkey prefix (first PREFIX_LEN quadkey digits — a
 spatial range, ≤ 4^PREFIX_LEN groups). The assignments table is written
 ``partitionBy('qk_prefix')`` with one manifest JSON per prefix recording
 lineage: input-file snapshot hash, config hash, row count, wall time.
-A resumed run recomputes ONLY prefixes whose manifest is missing or
-whose lineage hashes differ; completed prefixes' parquet output is
-reused as-is (idempotent dynamic partition overwrite).
+A resumed run reuses completed prefixes' parquet output as-is
+(idempotent dynamic partition overwrite), prunes scenes wholly
+contained in completed prefixes BEFORE the explode, and filters
+completed prefixes' rows before the write — only boundary-spanning
+scenes pay recompute.
 
 [BASELINE.json:14]: "resumable from checkpoint with per-partition
 lineage + metrics".
@@ -19,7 +21,7 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import mosaic as mz
@@ -50,6 +52,24 @@ def input_snapshot_hash(df: DataFrame) -> str:
                 pass
         parts.append(uri)
     return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:16]
+
+
+def _prefix_qk_col(lon, lat) -> Column:
+    """Quadkey prefix (PREFIX_LEN digits) of the tile containing a
+    point, as a native Column — whole-stage codegen, used by the
+    resume scene-pruner. Same mercator math as the explode kernel
+    (ops._tile_xy_cols), so containment decisions agree."""
+    from .ops import _tile_xy_cols
+
+    x, y = _tile_xy_cols(lon, lat, PREFIX_LEN)
+    digits = []
+    for k in range(PREFIX_LEN):
+        s = PREFIX_LEN - 1 - k
+        d = F.shiftright(x, s).bitwiseAND(F.lit(1)) + 2 * F.shiftright(
+            y, s
+        ).bitwiseAND(F.lit(1))
+        digits.append(d.cast("string"))
+    return F.concat(*digits)
 
 
 def _manifest_dir(out_dir: str) -> str:
@@ -109,7 +129,31 @@ def build_with_checkpoint(
         if fn.endswith(".json") and fn[: -len(".json")] not in done:
             os.remove(os.path.join(_manifest_dir(out_dir), fn))
 
-    assign = mz.quadkey_assignments(scenes, cfg).withColumn(
+    # resume compute-pruning (r4 review): the post-aggregation
+    # qk_prefix filter alone cannot push below the Arrow explode, so a
+    # fully-resumed run would still pay the whole pipeline only to
+    # write zero rows. Prune SCENES first: a non-crossing scene whose
+    # bbox corners land in the SAME completed prefix tile lies entirely
+    # inside it and can contribute nothing new (per-tile selection is
+    # independent, so dropping it cannot change any undone tile).
+    # Scenes spanning prefixes or crossing ±180 stay, and their
+    # done-prefix rows are removed by the exact qk_prefix filter below.
+    scenes_build = scenes
+    n_scenes_pruned = 0
+    if done:
+        done_sorted = sorted(done)
+        p_sw = _prefix_qk_col(F.col("min_lon"), F.col("min_lat"))
+        p_ne = _prefix_qk_col(F.col("max_lon"), F.col("max_lat"))
+        skippable = (
+            (F.col("min_lon") <= F.col("max_lon"))
+            & (p_sw == p_ne)
+            & p_sw.isin(done_sorted)
+        )
+        keep = ~F.coalesce(skippable, F.lit(False))
+        n_scenes_pruned = scenes.filter(~keep).count()
+        scenes_build = scenes.filter(keep)
+
+    assign = mz.quadkey_assignments(scenes_build, cfg).withColumn(
         "qk_prefix", F.substring("quadkey", 1, PREFIX_LEN)
     )
     todo = assign
@@ -164,7 +208,8 @@ def build_with_checkpoint(
                 "input_hash": in_hash,
                 "n_tiles": int(n_tiles),
                 "n_assignments": int(n_rows),
-                "wall_sec": wall,
+                "job_write_wall_sec": wall,  # whole-job write wall (shared
+                # by every prefix manifest of the run — NOT per-prefix cost)
                 "written_at": time.time(),
             }
             tmp = os.path.join(_manifest_dir(out_dir), f".{pfx}.json.tmp")
@@ -182,6 +227,7 @@ def build_with_checkpoint(
         with open(os.path.join(out_dir, "mosaic.json"), "w") as f:
             f.write(mz.canonical_json(doc))
         metrics = {
+            "n_scenes_pruned_on_resume": int(n_scenes_pruned),
             "n_tiles": len(tiles_map),
             "n_assignments": int(sum(len(v) for v in tiles_map.values())),
             "n_prefixes": len(counts),

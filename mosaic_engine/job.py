@@ -208,7 +208,9 @@ def main(argv=None):
         elapsed = time.time() - t0
         metrics.update(
             elapsed_sec=elapsed,
-            tiles_per_sec=metrics["n_assignments"] / max(elapsed, 1e-9),
+            # n_assignments / sec (one row per tile-asset pair) — naming it
+            # tiles_per_sec overstated throughput by the assets-per-tile factor
+            assignments_per_sec=metrics["n_assignments"] / max(elapsed, 1e-9),
         )
         print(json.dumps(metrics))
     elif a.cmd == "missing":

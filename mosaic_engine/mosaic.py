@@ -64,14 +64,21 @@ def build_mosaic(scenes: DataFrame, cfg: MosaicConfig) -> tuple[dict, DataFrame]
     bounded by 4^quadkey_zoom regardless of input scale; for
     quadkey_zoom > 10 assemble via toLocalIterator instead of collect.
     """
-    assign = quadkey_assignments(scenes, cfg)
-    filtered = ops.filter_scenes(scenes, cfg)
-    bounds = ops.mosaic_bounds(filtered, assign)
-    if cfg.quadkey_zoom > 10:
-        rows = assign.select("quadkey", "assets").toLocalIterator()
-    else:
-        rows = assign.select("quadkey", "assets").collect()
-    tiles_map = {r["quadkey"]: list(r["assets"]) for r in rows}
+    # two actions consume `assign` (the bounds semi-join and the tile
+    # collect) — persist across them so the expensive explode+selection
+    # pipeline runs once, not twice (r4 review); released afterwards so
+    # the session doesn't accumulate cached builds
+    assign = quadkey_assignments(scenes, cfg).persist()
+    try:
+        filtered = ops.filter_scenes(scenes, cfg)
+        bounds = ops.mosaic_bounds(filtered, assign)
+        if cfg.quadkey_zoom > 10:
+            rows = assign.select("quadkey", "assets").toLocalIterator()
+        else:
+            rows = assign.select("quadkey", "assets").collect()
+        tiles_map = {r["quadkey"]: list(r["assets"]) for r in rows}
+    finally:
+        assign.unpersist(blocking=False)
     return assemble_mosaic_doc(tiles_map, bounds, cfg), assign
 
 
@@ -136,14 +143,21 @@ def validate_mosaic(doc: dict) -> list[str]:
         errs.append(f"center must have 3 values, got {len(doc['center'])}")
         return errs
     w, s, e, n = doc["bounds"]
+    if not all(isinstance(v, (int, float)) for v in doc["bounds"]):
+        errs.append(f"non-numeric bounds {doc['bounds']}")
+        return errs
     if not (-180 <= w <= e <= 180 and -90 <= s <= n <= 90):
         errs.append(f"invalid bounds {doc['bounds']}")
     qz = doc["quadkey_zoom"]
     for qk, assets in doc["tiles"].items():
-        if len(qk) != qz or any(c not in "0123" for c in qk):
+        if not isinstance(qk, str) or len(qk) != qz or any(
+            c not in "0123" for c in qk
+        ):
             errs.append(f"bad quadkey {qk!r}")
             break
-        if not assets or not all(isinstance(a, str) for a in assets):
+        if not isinstance(assets, list) or not assets or not all(
+            isinstance(a, str) for a in assets
+        ):
             errs.append(f"bad asset list at {qk!r}")
             break
         if len(set(assets)) != len(assets):

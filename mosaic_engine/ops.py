@@ -204,14 +204,27 @@ def assignments_relational(assign: DataFrame) -> DataFrame:
 
 
 def mosaic_bounds(scenes: DataFrame, assign: DataFrame) -> list[float]:
-    """A4 over scenes actually used in the mosaic (left_semi join)."""
+    """A4 over scenes actually used in the mosaic (left_semi join).
+
+    Antimeridian (r4 review): a crossing scene stores a WRAPPED bbox
+    (min_lon > max_lon) — raw min/max would treat those as ordinary
+    longitudes and either exclude the scene's true extent or emit
+    invalid w > e bounds. A crossing scene genuinely spans both sides
+    of ±180, so it contributes the full [-180, 180] lon interval —
+    bounds stay spec-valid and always cover every emitted tile (the
+    lat axis is unaffected). Mirrored scalar logic in
+    tests/oracle.py.features_to_mosaic keeps goldens byte-equal."""
     used = scenes.join(
         assign.select(F.explode("assets").alias("image_id")).distinct(),
         "image_id",
         "left_semi",
     )
+    crossing = F.col("min_lon") > F.col("max_lon")
     row = used.agg(
-        F.min("min_lon"), F.min("min_lat"), F.max("max_lon"), F.max("max_lat")
+        F.min(F.when(crossing, -180.0).otherwise(F.col("min_lon"))),
+        F.min("min_lat"),
+        F.max(F.when(crossing, 180.0).otherwise(F.col("max_lon"))),
+        F.max("max_lat"),
     ).first()
     if row is None or row[0] is None:
         return [-180.0, -90.0, 180.0, 90.0]

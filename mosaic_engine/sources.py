@@ -136,6 +136,15 @@ def read_ndjson_features(spark: SparkSession, path: str) -> DataFrame:
         F.array_max(ys).alias("max_lat"),
         xs.alias("fp_xs"),
         ys.alias("fp_ys"),
+        # untrusted feed: a feature with missing/null/non-Polygon-shaped
+        # geometry must not reach the exact-intersect kernel (NULL rings
+        # crash the whole Spark stage) — drop it here, mirroring
+        # attach_wrs2_footprints' documented no-geometry drop; count
+        # rows upstream if the drop rate matters (r4 review)
+    ).filter(
+        F.col("fp_xs").isNotNull()
+        & (F.size("fp_xs") > 0)
+        & F.col("min_lon").isNotNull()
     )
 
 
@@ -213,8 +222,16 @@ def attach_wrs2_footprints(scenes: DataFrame, wrs2: DataFrame) -> DataFrame:
         & F.col("max_lon").isNotNull()
         & F.col("max_lat").isNotNull()
     )
+    # the repo-wide antimeridian convention: a crossing scene stores a
+    # WRAPPED bbox (min_lon > max_lon) but carries an eastward-UNWRAPPED
+    # ring — synthesizing the fallback ring from the raw bbox would
+    # produce a planar polygon spanning [-max, min] that boundary-misses
+    # nearly every covered tile in the exact intersect (r4 review)
+    east = F.when(
+        F.col("min_lon") > F.col("max_lon"), F.col("max_lon") + 360.0
+    ).otherwise(F.col("max_lon"))
     bbox_xs = F.array(
-        "min_lon", "max_lon", "max_lon", "min_lon", "min_lon"
+        "min_lon", east, east, "min_lon", "min_lon"
     )
     bbox_ys = F.array(
         "min_lat", "min_lat", "max_lat", "max_lat", "min_lat"

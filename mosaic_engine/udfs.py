@@ -178,18 +178,35 @@ def make_scalar_udfs():
     """Construct the pandas_udf column functions (lazy: needs a JVM)."""
     from pyspark.sql.functions import pandas_udf
 
+    # level/zoom args are grouped per UNIQUE value within each Arrow
+    # batch (r4 review): engine call sites pass F.lit(...) so the loop
+    # runs once, but a user-supplied level COLUMN with mixed values
+    # must not silently encode every row at the first row's level
+
     @pandas_udf(T.LongType())
     def cell_id(lon: pd.Series, lat: pd.Series, level: pd.Series) -> pd.Series:
-        lv = int(level.iloc[0])
-        return pd.Series(cl.encode_cells(lon.to_numpy(), lat.to_numpy(), lv))
+        lv = level.to_numpy(np.int64)
+        lons, lats = lon.to_numpy(), lat.to_numpy()
+        out = np.empty(len(lv), dtype=np.int64)
+        for z in np.unique(lv):
+            m = lv == z
+            out[m] = cl.encode_cells(lons[m], lats[m], int(z))
+        return pd.Series(out)
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def cell_neighbors(
         lon: pd.Series, lat: pd.Series, level: pd.Series
     ) -> pd.Series:
-        lv = int(level.iloc[0])
-        nb = cl.neighbor_cells_3x3(lon.to_numpy(), lat.to_numpy(), lv)
-        return pd.Series(list(nb))
+        lv = level.to_numpy(np.int64)
+        lons, lats = lon.to_numpy(), lat.to_numpy()
+        out = np.empty(len(lv), dtype=object)
+        for z in np.unique(lv):
+            m = lv == z
+            nb = cl.neighbor_cells_3x3(lons[m], lats[m], int(z))
+            idx = np.flatnonzero(m)
+            for j, row in zip(idx, nb):
+                out[j] = row
+        return pd.Series(out)
 
     @pandas_udf(T.DoubleType())
     def haversine_m(
@@ -206,10 +223,13 @@ def make_scalar_udfs():
 
     @pandas_udf(T.StringType())
     def tile_quadkey(tx: pd.Series, ty: pd.Series, z: pd.Series) -> pd.Series:
-        zoom = int(z.iloc[0])
-        return pd.Series(
-            tm.tile_to_quadkey(tx.to_numpy(np.int64), ty.to_numpy(np.int64), zoom)
-        )
+        zv = z.to_numpy(np.int64)
+        xs, ys = tx.to_numpy(np.int64), ty.to_numpy(np.int64)
+        out = np.empty(len(zv), dtype=object)
+        for zoom in np.unique(zv):
+            m = zv == zoom
+            out[m] = tm.tile_to_quadkey(xs[m], ys[m], int(zoom))
+        return pd.Series(out)
 
     @pandas_udf(T.StringType())
     def cell_quadkey(cell: pd.Series) -> pd.Series:

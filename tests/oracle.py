@@ -318,10 +318,19 @@ def features_to_mosaic(
     used_ids = {a for assets in out_tiles.values() for a in assets}
     used = [s for s in kept if s["image_id"] in used_ids]
     if used:
+        # a crossing scene (wrapped bbox, min_lon > max_lon) spans both
+        # sides of ±180 → contributes the full lon interval (the exact
+        # twin of ops.mosaic_bounds — r4 review)
         bounds = [
-            min(s["min_lon"] for s in used),
+            min(
+                -180.0 if s["min_lon"] > s["max_lon"] else s["min_lon"]
+                for s in used
+            ),
             min(s["min_lat"] for s in used),
-            max(s["max_lon"] for s in used),
+            max(
+                180.0 if s["min_lon"] > s["max_lon"] else s["max_lon"]
+                for s in used
+            ),
             max(s["max_lat"] for s in used),
         ]
     else:

@@ -24,6 +24,10 @@ def test_checkpoint_build_and_full_resume(spark, scenes_df, tmp_path):
     doc2, m2 = _build(spark, scenes_df, out, resume=True)
     assert m2["n_prefixes_skipped"] == m1["n_prefixes"]
     assert mz.canonical_json(doc2) == mz.canonical_json(doc1)
+    # (r4) resume prunes compute, not just the write: scenes wholly
+    # contained in completed prefixes never reach the explode
+    assert m2["n_scenes_pruned_on_resume"] > 0
+    assert m1["n_scenes_pruned_on_resume"] == 0
     # manifests carry lineage
     mans = checkpoint.read_manifests(out)
     assert len(mans) == m1["n_prefixes"]

@@ -645,3 +645,32 @@ def test_gen_scenes_small_n_keeps_edge_cases():
     t2 = datagen.gen_scenes(n_scenes=5, paths=2, rows=2, seed=42,
                             edge_cases=False)
     assert t2.num_rows <= 5
+
+
+def test_attach_wrs2_crossing_bbox_ring_is_unwrapped(spark):
+    """(r4 review) a bbox-only scene with the wrapped crossing
+    convention (min_lon > max_lon) must synthesize an eastward-UNWRAPPED
+    ring — the planar [max,min] rectangle would boundary-miss nearly
+    every covered tile in the exact intersect, silently erasing the
+    scene from the mosaic."""
+    from pyspark.sql import Row
+
+    from mosaic_engine import tilemath as tm
+
+    wrs2 = sources.wrs2_dim(spark, paths=2, rows=2)
+    scenes = spark.createDataFrame([
+        Row(image_id="XING", path=97, row=97, cloud_cover=1.0,
+            min_lon=178.0, min_lat=-2.0, max_lon=-178.0, max_lat=2.0),
+    ])
+    out = sources.attach_wrs2_footprints(scenes, wrs2)
+    ring = list(out.collect()[0]["fp_xs"])
+    assert ring == [178.0, 182.0, 182.0, 178.0, 178.0]  # unwrapped east
+    tiles = udfs.explode_to_quadkeys(out, 6, passthrough=["image_id"])
+    from mosaic_engine import cells as cl
+
+    cells = np.array([r["cell"] for r in tiles.collect()], np.int64)
+    xs, _, lv = cl.unpack_cell(cells)
+    assert set(lv) == {6}
+    # coverage lands on BOTH sides of the antimeridian: tile x = 63
+    # (west of 180) and x = 0 (east of 180, wrapped) at zoom 6
+    assert (1 << 6) - 1 in xs and 0 in xs
