@@ -31,9 +31,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mosaic_engine import annops, textops
+from mosaic_engine.geometry import EARTH_RADIUS_M
 from mosaic_engine.textops import P, POW31, token_code_sql
+from mosaic_engine.tilemath import LL_EPSILON
 
-LL_EPSILON = 1e-11
+# constants imported from the modules that OWN them (r4 review): tuning
+# tilemath.LL_EPSILON or the earth radius must move engine and oracle
+# together, or cover/distance mismatches masquerade as engine bugs
 Z_TILE = 8
 Z_ANTI = 6
 
@@ -58,14 +62,20 @@ def _ship_package(spark: SparkSession) -> None:
         tempfile.gettempdir(), f"mosaic_engine_pyfiles_{os.getpid()}.zip"
     )
     if not os.path.exists(zpath):
+        # unique tmp + atomic rename (r4 review): a concurrent driver
+        # thread must never addPyFile a partially-written zip
+        import threading
+
         pkg = os.path.join(_REPO, "mosaic_engine")
-        with zipfile.ZipFile(zpath, "w") as z:
+        tmp = f"{zpath}.{threading.get_ident()}.tmp"
+        with zipfile.ZipFile(tmp, "w") as z:
             for fn in sorted(os.listdir(pkg)):
                 if fn.endswith(".py"):
                     z.write(
                         os.path.join(pkg, fn),
                         arcname=os.path.join("mosaic_engine", fn),
                     )
+        os.replace(tmp, zpath)
     try:
         sc.addPyFile(zpath)
         _SHIPPED.add(key)  # only on success — a failure retries next call
@@ -138,10 +148,17 @@ def _quadkey_sql(x: str, y: str, z: int) -> str:
     return f"({digits})"
 
 
-def _tile_udf_cols(spark):
-    from mosaic_engine.udfs import make_scalar_udfs
+_SCALAR_UDFS: dict = {}
 
-    return make_scalar_udfs()
+
+def _tile_udf_cols(spark):
+    """Process-cached scalar-UDF dict (rebuilding five pandas_udf
+    wrappers per query call is wasted work — r4 review)."""
+    if not _SCALAR_UDFS:
+        from mosaic_engine.udfs import make_scalar_udfs
+
+        _SCALAR_UDFS.update(make_scalar_udfs())
+    return _SCALAR_UDFS
 
 
 def _tile_assign_df(spark, sf_dir, z=Z_TILE, source="events"):
@@ -160,7 +177,9 @@ def _tile_assign_df(spark, sf_dir, z=Z_TILE, source="events"):
         return pd.DataFrame({"tx": xs, "ty": ys})
 
     u = _tile_udf_cols(spark)
-    pts = _event_points(spark, sf_dir) if source == "events" else None
+    if source != "events":
+        raise ValueError(f"unknown point source {source!r}")
+    pts = _event_points(spark, sf_dir)
     d = pts.withColumn("t", tile_xy("lon", "lat")).select(
         "event_id", "lon", "lat", F.col("t.tx").alias("tx"), F.col("t.ty").alias("ty")
     )
@@ -401,11 +420,17 @@ def q_geo_knn_brute(spark, sf_dir):
 
 
 def sql_geo_knn_brute():
+    # radians() FIRST, subtract AFTER — the exact op order of
+    # ops.haversine_expr / geometry.haversine_m. radians(py - qy)
+    # differs in the last ULP for ~43% of pairs, which could flip a
+    # near-tie rank or a round(_, 3) boundary (r4 review).
     hav = (
-        "2.0 * 6371008.8 * asin(sqrt(least("
-        "sin(radians(py - qy) / 2.0) * sin(radians(py - qy) / 2.0) + "
+        f"2.0 * {EARTH_RADIUS_M} * asin(sqrt(least("
+        "sin((radians(py) - radians(qy)) / 2.0) * "
+        "sin((radians(py) - radians(qy)) / 2.0) + "
         "cos(radians(qy)) * cos(radians(py)) * "
-        "sin(radians(px - qx) / 2.0) * sin(radians(px - qx) / 2.0), 1.0)))"
+        "sin((radians(px) - radians(qx)) / 2.0) * "
+        "sin((radians(px) - radians(qx)) / 2.0), 1.0)))"
     )
     return (
         "WITH s AS (SELECT s_suppkey, "
@@ -1394,8 +1419,17 @@ def _part_scenes(spark, sf_dir):
         (s + 2.9).alias("max_lat"),
     )
     return base.withColumn(
-        "fp_xs", F.array("min_lon", "max_lon", "max_lon", "min_lon")
-    ).withColumn("fp_ys", F.array("min_lat", "min_lat", "max_lat", "max_lat"))
+        # CLOSED ring (first == last): geometry.pad_rings' contract —
+        # an open rectangle is masked today (every bbox-cover candidate
+        # genuinely intersects an axis-aligned rect) but corrupts PIP
+        # parity the moment a non-rectangular footprint reuses this
+        # pattern (r4 review)
+        "fp_xs",
+        F.array("min_lon", "max_lon", "max_lon", "min_lon", "min_lon"),
+    ).withColumn(
+        "fp_ys",
+        F.array("min_lat", "min_lat", "max_lat", "max_lat", "min_lat"),
+    )
 
 
 PART_SCENES_SQL = (
@@ -1460,8 +1494,8 @@ def _vector_boxes(spark, sf_dir):
     s = F.pmod(F.col("s_suppkey") * 29, F.lit(110)) - 60.0 + 0.0013
     return sup.select(
         F.col("s_suppkey").alias("feature_id"),
-        F.array(w, w + 2.1, w + 2.1, w).alias("xs"),
-        F.array(s, s, s + 1.7, s + 1.7).alias("ys"),
+        F.array(w, w + 2.1, w + 2.1, w, w).alias("xs"),
+        F.array(s, s, s + 1.7, s + 1.7, s).alias("ys"),
     )
 
 
@@ -1521,7 +1555,7 @@ def sql_knn_banded():
     # radians-first haversine: the exact op sequence of
     # geometry.haversine_m (the engine's scoring kernel)
     hav = (
-        "2.0 * 6371008.8 * asin(sqrt(least("
+        f"2.0 * {EARTH_RADIUS_M} * asin(sqrt(least("
         "sin((radians(cy) - radians(lat)) / 2.0) * sin((radians(cy) - radians(lat)) / 2.0) + "
         "cos(radians(lat)) * cos(radians(cy)) * "
         "sin((radians(cx) - radians(lon)) / 2.0) * sin((radians(cx) - radians(lon)) / 2.0), 1.0)))"
@@ -1548,8 +1582,8 @@ def _land_boxes(spark, sf_dir):
     s = F.pmod(F.col("n_nationkey") * 31, F.lit(100)) - 55.0 + 0.0017
     return n.select(
         F.col("n_nationkey").alias("land_id"),
-        F.array(w, w + 24.0, w + 24.0, w).alias("xs"),
-        F.array(s, s, s + 16.0, s + 16.0).alias("ys"),
+        F.array(w, w + 24.0, w + 24.0, w, w).alias("xs"),
+        F.array(s, s, s + 16.0, s + 16.0, s).alias("ys"),
     )
 
 

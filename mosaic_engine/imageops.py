@@ -139,6 +139,15 @@ def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
                 width, height, bitdepth, colortype = struct.unpack(
                     ">IIBB", payload[:10]
                 )
+                # compression / filter-method / interlace bytes: only
+                # 0/0/0 is implemented — an Adam7-interlaced stream
+                # would otherwise die in an opaque reshape error
+                # instead of the codec-unsupported path (r4 review)
+                if payload[10:13] != b"\x00\x00\x00":
+                    raise NotImplementedError(
+                        "png compression/filter/interlace "
+                        f"{tuple(payload[10:13])} unsupported"
+                    )
             elif tag == b"IDAT":
                 idat += payload
             elif tag == b"IEND":
