@@ -1387,6 +1387,18 @@ def _mm_fixture_path(name: str) -> str:
     tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
     datagen.write_parquet(t, tmp)
     os.replace(tmp, path)
+    # GC superseded generations (ADVICE r4): every datagen/oracle/
+    # imageops edit mints a new hash, so without this the dir grows one
+    # stale parquet per fixture per edit. Best-effort — a concurrent
+    # reader of an old generation on POSIX keeps its open handle.
+    import glob
+
+    for old in glob.glob(os.path.join(_MM_DIR, f"{name}.*.parquet")):
+        if old != path:
+            try:
+                os.remove(old)
+            except OSError:
+                pass
     return path
 
 

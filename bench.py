@@ -79,6 +79,20 @@ def main():
         times[name] = round(min(dt, time.time() - t0), 3)
         return out
 
+    def timed_reload(name, fn):
+        # index-reload lanes: the per-lane number in `times` follows the
+        # same warm+best-of-2 protocol as every other lane, so it is a
+        # WARM-CACHE RELOAD measurement (index parquet hot in the OS
+        # page cache, session warmed) — NOT a true process-restart cost.
+        # The genuinely first execution in this process is recorded
+        # separately in extras as {name}_first_exec_sec; a real restart
+        # lands between the two (page cache may or may not survive).
+        t0 = time.time()
+        out = fn()
+        extras[f"{name}_first_exec_sec"] = round(time.time() - t0, 3)
+        timed(name, fn)
+        return out
+
     # flagship: mosaic build (assignment count == produced tile rows).
     # repartition: the cached fixture is ONE parquet file (< one split);
     # real inputs arrive as many files, so spread it across the cores.
@@ -113,16 +127,17 @@ def main():
         "knn_banded_served",
         lambda: ops.knn_join(None, knn_queries, index=knn_idx).count(),
     )
-    # cold-index serving (r4): the index persisted at ingest time and
-    # reloaded from parquet in a fresh session — what a restart of the
-    # lookup service actually pays per probe batch
+    # reload serving (r4, annotated r5): the index persisted at ingest
+    # time and reloaded from parquet — a warm-cache reload measurement
+    # (see timed_reload), with the first in-process execution recorded
+    # in extras for the closer-to-restart number
     # existence sentinel = the LAST artifact's _SUCCESS marker (Spark
     # creates output dirs before committing), so an interrupted save can
     # never wedge later runs on a partial index dir
     idx_path = os.path.join(CACHE, f"knn_index_v2_{N_SCENES}")
     if not os.path.exists(os.path.join(idx_path, "cent", "_SUCCESS")):
         ops.knn_index_save(knn_idx, idx_path)
-    timed(
+    timed_reload(
         "knn_banded_cold_index",
         lambda: ops.knn_join(
             None, knn_queries, index=ops.knn_index_load(spark, idx_path)
@@ -167,7 +182,7 @@ def main():
     )
     if not os.path.exists(os.path.join(ivf_path, "corpus", "_SUCCESS")):
         annops.ivf_index_save(annops.ivf_index(emb), ivf_path)
-    timed(
+    timed_reload(
         "ann_ivf_served",
         lambda: annops.ivf_topk(
             None, index=annops.ivf_index_load(spark, ivf_path)

@@ -84,19 +84,34 @@ def _cosine_score(qa, na, qb, nb) -> Column:
     )
 
 
+TOPK_SALT_BUCKETS = 16
+
+
 def _cosine_topk_tail(scored: DataFrame, k: int) -> DataFrame:
-    """(query_id, vec_id, score) rows → exact top-k per query via
-    sorted-struct aggregation (map-side partials, no window) — the ONE
-    definition of the ANN top-k tail."""
-    topk = scored.groupBy("query_id").agg(
+    """(query_id, vec_id, score) rows → exact top-k per query, salted.
+
+    A plain groupBy(query_id).collect_list would funnel a query's ENTIRE
+    candidate set through one aggregation key (partial collect_list still
+    carries every row) — for the brute-force path that key holds the
+    whole corpus. Instead: pre-reduce per (query_id, salt) with slice-k,
+    then merge the ≤ SALT_BUCKETS×k survivors per query (the
+    ops.knn_join two-phase pattern). Each salt keeps its own k best under
+    the same total (ns, vec_id) order, so the union of per-salt top-k
+    provably contains the global top-k — results are bit-identical to
+    the unsalted plan, but no aggregation key ever carries more than its
+    1/SALT_BUCKETS candidate share."""
+    sel = F.struct((-F.col("score")).alias("ns"), F.col("vec_id"))
+    part = (
+        scored.withColumn(
+            "salt",
+            F.pmod(F.xxhash64("vec_id"), F.lit(TOPK_SALT_BUCKETS)),
+        )
+        .groupBy("query_id", "salt")
+        .agg(F.slice(F.sort_array(F.collect_list(sel)), 1, k).alias("part"))
+    )
+    topk = part.groupBy("query_id").agg(
         F.slice(
-            F.sort_array(
-                F.collect_list(
-                    F.struct((-F.col("score")).alias("ns"), F.col("vec_id"))
-                )
-            ),
-            1,
-            k,
+            F.sort_array(F.flatten(F.collect_list("part"))), 1, k
         ).alias("nn")
     )
     return topk.select(

@@ -206,11 +206,15 @@ def main(argv=None):
             spark, scenes, cfg, a.out, resume=a.resume
         )
         elapsed = time.time() - t0
+        rate = metrics["n_assignments"] / max(elapsed, 1e-9)
         metrics.update(
             elapsed_sec=elapsed,
             # n_assignments / sec (one row per tile-asset pair) — naming it
-            # tiles_per_sec overstated throughput by the assets-per-tile factor
-            assignments_per_sec=metrics["n_assignments"] / max(elapsed, 1e-9),
+            # tiles_per_sec overstated throughput by the assets-per-tile
+            # factor; the old key is kept one deprecation round (same
+            # value) so existing consumers keep parsing, matching bench.py
+            assignments_per_sec=rate,
+            tiles_per_sec=rate,
         )
         print(json.dumps(metrics))
     elif a.cmd == "missing":

@@ -90,3 +90,24 @@ def test_no_zero_norm_embeddings(spark, sf_dir):
         .count()
     )
     assert n_bad == 0
+
+
+def test_gen_audio_is_mono_only():
+    """(ADVICE r4) The scalar oracle rejects multichannel WAV as
+    undecodable while the engine downmixes it — a divergence that stays
+    latent only while every generated WAV is mono. Lock that: every
+    decodable WAV gen_audio can emit (any seed the fixtures use) is
+    1-channel 16-bit."""
+    import io
+    import wave
+
+    from mosaic_engine import datagen
+
+    for seed in (42, 7):
+        t = datagen.gen_audio(n=48, seed=seed)
+        for rec in t.to_pylist():
+            if rec["fmt"] != "wav":
+                continue
+            with wave.open(io.BytesIO(bytes(rec["bytes"]))) as wf:
+                assert wf.getnchannels() == 1, rec["audio_id"]
+                assert wf.getsampwidth() == 2, rec["audio_id"]

@@ -187,3 +187,31 @@ def test_ngram_jaccard_gram_build_is_candidate_reduced(spark):
     gen_at = plan.find("Generate explode")
     assert gen_at != -1, plan
     assert "LeftSemi" in plan[gen_at:], plan
+
+
+def test_ann_topk_tail_is_salted(spark):
+    """(VERDICT r4 #1) The ANN top-k tail must never funnel a query's
+    full candidate set through one aggregation key: the plan must
+    pre-reduce per (query_id, salt) before the per-query merge — two
+    hash exchanges, the FIRST keyed on salt as well as query_id."""
+    from pyspark.sql import Row
+
+    from mosaic_engine import annops
+
+    rows = [
+        Row(vec_id=i, embedding=[float((i * 7 + d) % 13) - 6.0 for d in range(64)], label=i % 3)
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows)
+    out = annops.cosine_topk(emb, n_queries=3, k=4)
+    plan = _plan(out)
+    assert "salt" in plan, plan
+    # exactly two aggregation exchanges: (query_id, salt) then (query_id)
+    exchanges = [
+        seg.split(")")[0]
+        for seg in plan.split("Exchange hashpartitioning(")[1:]
+    ]
+    agg_exchanges = [e for e in exchanges if "query_id" in e]
+    assert len(agg_exchanges) == 2, plan
+    salted = [e for e in agg_exchanges if "salt" in e]
+    assert len(salted) == 1, plan

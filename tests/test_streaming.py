@@ -447,3 +447,116 @@ def test_orphaned_manifest_adopts_or_refuses_checkpoint(spark, tmp_path):
     streaming._write_manifest(work, man)
     assert streaming.run_incremental(spark, scenes_dir, cfg, work) == 0
     assert streaming._read_manifest(work)["chk_id"] == real_qid
+
+
+class MemFS(streaming.StorageClient):
+    """In-memory StorageClient over '/mem/…' keys that do NOT exist on
+    the local filesystem — any os.* I/O escaping the seam raises
+    FileNotFoundError or is caught by the real-FS assertion below."""
+
+    def __init__(self):
+        self.files: dict[str, str] = {}
+
+    def _key(self, p: str) -> str:
+        assert p.startswith("/mem/"), f"non-seam path reached MemFS: {p}"
+        return p.rstrip("/")
+
+    def exists(self, p):
+        return self._key(p) in self.files or self.isdir(p)
+
+    def isdir(self, p):
+        pref = self._key(p) + "/"
+        return any(k.startswith(pref) for k in self.files)
+
+    def listdir(self, p):
+        pref = self._key(p) + "/"
+        return sorted(
+            {k[len(pref):].split("/")[0] for k in self.files if k.startswith(pref)}
+        )
+
+    def read_text(self, p):
+        return self.files[self._key(p)]
+
+    def write_text_atomic(self, p, text):
+        self.files[self._key(p)] = text
+
+    def delete(self, p):
+        del self.files[self._key(p)]
+
+    def delete_tree(self, p):
+        k = self._key(p)
+        for dead in [x for x in self.files if x == k or x.startswith(k + "/")]:
+            del self.files[dead]
+
+    def makedirs(self, p):
+        self._key(p)
+
+    def canonical(self, p):
+        return p
+
+
+def test_bookkeeping_runs_through_storage_seam():
+    """(VERDICT r4 #3) All manifest/lineage/GC bookkeeping must route
+    through the injected StorageClient: run it against MemFS paths that
+    cannot resolve on the local filesystem and assert the real FS is
+    never touched."""
+    import json
+
+    fs = MemFS()
+    work = "/mem/work"
+    assert not os.path.exists("/mem")  # the escape canary
+
+    # manifest commit + readback + folded set
+    streaming._write_manifest(work, {"gen": 1, "folded": [0, 2], "chk_id": "q"}, fs)
+    assert streaming._read_manifest(work, fs)["gen"] == 1
+    assert streaming._folded_batches(work, fs) == {0, 2}
+
+    # legacy migration consumes the old file through the seam
+    legacy_work = "/mem/legacy"
+    fs.files[os.path.join(legacy_work, "compacted_batches.json")] = "[3, 1]"
+    fs.files[os.path.join(legacy_work, "_chk", "metadata")] = json.dumps(
+        {"id": "qid-7"}
+    )
+    man = streaming._read_manifest(legacy_work, fs)
+    assert man == {"gen": None, "folded": [1, 3], "chk_id": "qid-7"}
+    assert os.path.join(legacy_work, "compacted_batches.json") not in fs.files
+
+    # config-hash guard through the seam
+    cfg = MosaicConfig(quadkey_zoom=7)
+    streaming._check_config_hash(work, cfg, fs)
+    streaming._check_config_hash(work, cfg, fs)  # idempotent
+    try:
+        streaming._check_config_hash(work, MosaicConfig(quadkey_zoom=9), fs)
+        raise AssertionError("config drift must raise")
+    except ValueError:
+        pass
+
+    # tiles-path resolution + GC-only compaction (live <= 1 → Spark is
+    # never touched; spark=None proves it)
+    fs.files[os.path.join(work, "tiles_compacted", "gen=1", "part-0")] = "d"
+    fs.files[os.path.join(work, "tiles_log", "batch_id=0", "part-0")] = "d"
+    fs.files[os.path.join(work, "tiles_log", "batch_id=2", "part-0")] = "d"
+    fs.files[os.path.join(work, "tiles_compacted", "gen=0", "part-0")] = "d"
+    assert streaming._tiles_paths(work, fs) == [
+        os.path.join(work, "tiles_compacted", "gen=1")
+    ]
+    assert streaming.compact_tiles_log(None, work, fs=fs) == 0
+    assert streaming._batch_dirs(work, fs) == []  # folded dirs GC'd
+    assert not fs.isdir(os.path.join(work, "tiles_compacted", "gen=0"))
+
+    # _chk lineage evidence through the seam, incl. the zero-new-files
+    # batch whose log file holds only the 'v1' header (ADVICE r4)
+    chk = os.path.join(work, "_chk", "sources", "0")
+    scenes = "/mem/scenes"
+    entry = json.dumps({"path": scenes + "/p1.parquet", "batchId": 0})
+    fs.files[os.path.join(chk, "0")] = "v1\n" + entry + "\n"
+    fs.files[os.path.join(chk, "2")] = "v1\n"  # zero-new-files batch
+    assert streaming._sources_log_covers(work, [0, 2], scenes, fs)
+    # a file outside scenes_dir refuses adoption
+    bad = json.dumps({"path": "/mem/other/p9.parquet", "batchId": 5})
+    fs.files[os.path.join(chk, "5")] = "v1\n" + bad + "\n"
+    assert not streaming._sources_log_covers(work, [0, 2, 5], scenes, fs)
+    # an unaccounted batch id refuses adoption
+    assert not streaming._sources_log_covers(work, [0, 9], scenes, fs)
+
+    assert not os.path.exists("/mem")  # nothing escaped to the real FS
