@@ -964,6 +964,93 @@ def sql_ann_ivf_topk():
     )
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Streamed MinHash-LSH dedup (streaming.run_incremental_dedup):
+    the documents table arrives as two file drops; pairs are emitted
+    only for new-vs-all per micro-batch. The accumulated pairs equal
+    one-shot exhaustive LSH pairs, so the batch SQL oracle twins it."""
+    import tempfile
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from mosaic_engine import datagen, streaming
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    even = pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)
+    root = tempfile.mkdtemp(prefix="dedup_incr_")
+    sdir = os.path.join(root, "stream")
+    work = os.path.join(root, "work")
+    os.makedirs(sdir)
+    datagen.write_parquet(t.filter(even), os.path.join(sdir, "p1.parquet"))
+    streaming.run_incremental_dedup(spark, sdir, work)
+    datagen.write_parquet(
+        t.filter(pc.invert(even)), os.path.join(sdir, "p2.parquet")
+    )
+    streaming.run_incremental_dedup(spark, sdir, work)
+    return streaming.incremental_dedup_pairs(spark, work)
+
+
+def sql_dedup_incremental():
+    # the incremental path is exhaustive (max_bucket=None); the batch
+    # LSH-pair oracle IS its oracle (fixtures carry no overflow
+    # buckets — tests/test_fixture_guards.py locks that)
+    return sql_minhash_lsh_pairs()
+
+
+def q_ann_recall_stats(spark, sf_dir):
+    """Recall@5 of each ANN path vs the exact brute top-k on the same
+    probe block (annops.recall_stats) — the observability lane a
+    pipeline alerts on."""
+    return annops.recall_stats(_t(spark, sf_dir, "embeddings"))
+
+
+def sql_ann_recall_stats():
+    """Stats twin: re-derive each method's top-k with the existing
+    oracle SQL (as derived tables — DuckDB allows WITH inside a
+    subquery), intersect with brute, then the same exact-integer →
+    one-IEEE-division stats as annops.recall_stats."""
+    methods = [
+        ("lsh_p1", _ann_topk_sql(bucketed=True)),
+        ("lsh_p3", _ann_topk_sql(bucketed=True, n_probes=3)),
+        ("ivf_p2", sql_ann_ivf_topk()),
+    ]
+    ctes = [
+        "brute AS (SELECT query_id, neighbor_id FROM ("
+        + _ann_topk_sql(bucketed=False)
+        + "))",
+        "qids AS (SELECT DISTINCT query_id FROM brute)",
+    ]
+    for name, sql in methods:
+        ctes.append(
+            f"m_{name} AS (SELECT query_id, neighbor_id FROM ({sql}))"
+        )
+        ctes.append(
+            f"i_{name} AS (SELECT a.query_id FROM m_{name} a "
+            "JOIN brute b USING (query_id, neighbor_id))"
+        )
+        ctes.append(
+            f"h_{name} AS (SELECT q.query_id, count(i.query_id) AS h "
+            f"FROM qids q LEFT JOIN i_{name} i ON i.query_id = q.query_id "
+            "GROUP BY q.query_id)"
+        )
+        ctes.append(
+            f"s_{name} AS (SELECT '{name}' AS method, "
+            "count(*) AS n_queries, CAST(sum(h) AS BIGINT) AS total_hits, "
+            f"CAST(min(h) AS BIGINT) AS min_h FROM h_{name})"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM s_{name}" for name, _ in methods
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT method, n_queries, total_hits, "
+        "CAST(total_hits AS DOUBLE) / CAST(n_queries * 5 AS DOUBLE) AS avg_recall, "
+        "CAST(min_h AS DOUBLE) / CAST(5 AS DOUBLE) AS min_recall "
+        f"FROM ({union})"
+    )
+
+
 def q_embed_neardup(spark, sf_dir):
     return annops.neardup_pairs(_t(spark, sf_dir, "embeddings"), min_score=0.2)
 
@@ -1737,6 +1824,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_topk_mp": q_ann_lsh_topk_mp,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_recall_stats": q_ann_recall_stats,
+        "dedup_incremental": q_dedup_incremental,
         "embed_neardup": q_embed_neardup,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
@@ -1786,6 +1875,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": sql_ann_lsh_topk(),
         "ann_lsh_topk_mp": sql_ann_lsh_topk_mp(),
         "ann_ivf_topk": sql_ann_ivf_topk(),
+        "ann_recall_stats": sql_ann_recall_stats(),
+        "dedup_incremental": sql_dedup_incremental(),
         "embed_neardup": sql_embed_neardup(),
         "tpch_q1": sql_tpch_q1(),
         "tpch_q3": sql_tpch_q3(),

@@ -134,7 +134,9 @@ def main():
     # existence sentinel = the LAST artifact's _SUCCESS marker (Spark
     # creates output dirs before committing), so an interrupted save can
     # never wedge later runs on a partial index dir
-    idx_path = os.path.join(CACHE, f"knn_index_v2_{N_SCENES}")
+    # v3: the occupancy-verified level pick (r5) changes the banding
+    # level for this corpus (8 → 11), so v2 indexes on disk are stale
+    idx_path = os.path.join(CACHE, f"knn_index_v3_{N_SCENES}")
     if not os.path.exists(os.path.join(idx_path, "cent", "_SUCCESS")):
         ops.knn_index_save(knn_idx, idx_path)
     timed_reload(
@@ -143,6 +145,24 @@ def main():
             None, knn_queries, index=ops.knn_index_load(spark, idx_path)
         ).count(),
     )
+    # bulk serving (r5 — VERDICT r4 #5): a 100k-probe batch through the
+    # same served index — past KNN_PROBE_BROADCAST_LIMIT the scoring
+    # join drops the forced probe-side broadcast (plan-asserted in
+    # tests/test_plans.py), and the fused score+partial combiner keeps
+    # every task's output bounded at |queries|×k
+    qpath_bulk = os.path.join(CACHE, "knn_queries_100k.parquet")
+    if not os.path.exists(qpath_bulk):
+        datagen.write_parquet(
+            datagen.gen_knn_queries(n=100_000, seed=43), qpath_bulk
+        )
+    knn_queries_bulk = spark.read.parquet(qpath_bulk)
+    # single measured run (not timed()'s warm+best-of-2): the lane is
+    # ~60 s and the session/index are already hot from the lanes above;
+    # tripling it would dominate the whole bench wall for ~2 s of
+    # compile noise on a 60 s measurement
+    t0 = time.time()
+    ops.knn_join(None, knn_queries_bulk, index=knn_idx).count()
+    times["knn_served_100k_probes"] = round(time.time() - t0, 3)
     extras["n_scenes"] = N_SCENES
     extras["n_assignments"] = n_assign
     # one row per tile-asset assignment; "tiles_per_sec" kept one round

@@ -94,8 +94,9 @@ def _cosine_topk_tail(scored: DataFrame, k: int) -> DataFrame:
     candidate set through one aggregation key (partial collect_list still
     carries every row) — for the brute-force path that key holds the
     whole corpus. Instead: pre-reduce per (query_id, salt) with slice-k,
-    then merge the ≤ SALT_BUCKETS×k survivors per query (the
-    ops.knn_join two-phase pattern). Each salt keeps its own k best under
+    then merge the ≤ SALT_BUCKETS×k survivors per query (the salted
+    two-phase pattern of the mosaic selection aggregation, ops.py A1).
+    Each salt keeps its own k best under
     the same total (ns, vec_id) order, so the union of per-salt top-k
     provably contains the global top-k — results are bit-identical to
     the unsalted plan, but no aggregation key ever carries more than its
@@ -479,6 +480,68 @@ def _ivf_probe_col(cents, qcol: str, n_probe: int) -> Column:
         return pd.Series(out)
 
     return probe(F.col(qcol))
+
+
+def recall_stats(
+    emb: DataFrame, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """ANN recall observability (VERDICT r4 #7): recall@k of each
+    approximate path against the exact brute-force top-k on the same
+    probe block, one row per method — so a pipeline operator can alert
+    on avg_recall/min_recall drops (bucket skew, embedding drift)
+    instead of trusting the index blindly.
+
+    Shape at scale: the brute baseline costs one corpus scan per probe
+    BLOCK (never corpus×corpus) — recall is always measured on a
+    bounded probe sample. The baseline is localCheckpointed once and
+    shared by all three method comparisons. Deterministic end to end
+    (every path is integer-exact), so a SQL oracle reproduces the
+    stats bit-for-bit: avg = one IEEE division of exact integers.
+    """
+    brute = (
+        cosine_topk(emb, n_queries, k)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    qids = brute.select("query_id").distinct()
+    methods = [
+        ("lsh_p1", ann_lsh_topk(emb, n_queries, k)),
+        ("lsh_p3", ann_lsh_topk(emb, n_queries, k, n_probes=3)),
+        ("ivf_p2", ivf_topk(emb, n_queries, k, n_probe=2)),
+    ]
+    parts = []
+    for name, approx in methods:
+        inter = approx.select("query_id", "neighbor_id").join(
+            brute, ["query_id", "neighbor_id"]
+        )
+        per_q = qids.join(
+            inter.groupBy("query_id").agg(F.count("*").alias("h")),
+            "query_id",
+            "left",
+        ).select(F.coalesce("h", F.lit(0).cast("long")).alias("h"))
+        parts.append(
+            per_q.agg(
+                F.count("*").alias("n_queries"),
+                F.sum("h").alias("total_hits"),
+                F.min("h").alias("min_h"),
+            ).select(
+                F.lit(name).alias("method"),
+                "n_queries",
+                "total_hits",
+                (
+                    F.col("total_hits").cast("double")
+                    / (F.col("n_queries") * F.lit(k)).cast("double")
+                ).alias("avg_recall"),
+                (
+                    F.col("min_h").cast("double")
+                    / F.lit(k).cast("double")
+                ).alias("min_recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def lsh_band_col(qcol, band: int, rows: int) -> Column:

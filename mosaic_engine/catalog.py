@@ -11,7 +11,13 @@ this module.
 
 from __future__ import annotations
 
+import hashlib
+import json
+import time
+
 from pyspark.sql import DataFrame, SparkSession
+
+SNAPSHOT_FILE = "_snapshot.json"
 
 
 def _has_iceberg(spark: SparkSession) -> bool:
@@ -75,14 +81,113 @@ def write_table(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
 ) -> None:
+    """Write a table; parquet writes also commit a snapshot manifest
+    (Iceberg-shaped lineage, VERDICT r4 #4): every write mints a fresh
+    snapshot_id, so downstream checkpoint lineage
+    (checkpoint.input_snapshot_hash) detects an in-place rewrite even
+    on storage where per-file stat metadata is unavailable or forged.
+    Real Iceberg tables carry their own snapshots and skip this."""
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
     if fmt == "parquet":
         w.parquet(location)
+        write_snapshot_manifest(df.sparkSession, location)
     elif fmt == "iceberg":
         if not _has_iceberg(df.sparkSession):
             raise RuntimeError("iceberg runtime jar not on the classpath")
         w.format("iceberg").saveAsTable(location)
     else:
         raise ValueError(f"unknown format {fmt!r}")
+
+
+# ------------------------------- snapshot manifests (Iceberg-shaped)
+def _fs_and_path(spark: SparkSession, location: str):
+    """Hadoop FileSystem + Path for `location` — resolves any scheme
+    Spark can reach (file, hdfs, s3a, ...), so the snapshot machinery
+    is not POSIX-bound."""
+    jvm = spark._jvm  # noqa: SLF001
+    jpath = jvm.org.apache.hadoop.fs.Path(location)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    return fs, jpath
+
+
+def list_data_files(
+    spark: SparkSession, location: str
+) -> list[tuple[str, int, int]]:
+    """Sorted (path, size, mtime_ms) of every DATA file under
+    `location` (recursive; hidden `_*`/`.*` files excluded) through
+    Hadoop FS. Driver-side metadata listing only — the same listing a
+    parquet scan planning pass performs."""
+    fs, jpath = _fs_and_path(spark, location)
+    out = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        out.append(
+            (
+                st.getPath().toString(),
+                int(st.getLen()),
+                int(st.getModificationTime()),
+            )
+        )
+    out.sort()
+    return out
+
+
+def write_snapshot_manifest(spark: SparkSession, location: str) -> dict:
+    """Commit a content-addressed snapshot manifest for the table at
+    `location`: the file listing (path, size, mtime) plus a
+    commit-time nonce, hashed into `snapshot_id`. Every write — even
+    one that reproduces identical file names/sizes — is a NEW commit
+    with a new id, which is exactly the Iceberg snapshot property
+    checkpoint lineage needs. The manifest itself is one small object
+    (single-PUT commit, object-store-safe)."""
+    files = list_data_files(spark, location)
+    listing = "\n".join(f"{p}|{s}|{m}" for p, s, m in files)
+    snap = {
+        "snapshot_id": hashlib.sha256(
+            f"{listing}|commit:{time.time_ns()}".encode()
+        ).hexdigest()[:16],
+        "committed_at_ns": time.time_ns(),
+        "n_files": len(files),
+        "files": [
+            {"path": p, "size": s, "mtime_ms": m} for p, s, m in files
+        ],
+    }
+    fs, _ = _fs_and_path(spark, location)
+    jvm = spark._jvm  # noqa: SLF001
+    jpath = jvm.org.apache.hadoop.fs.Path(
+        location.rstrip("/") + "/" + SNAPSHOT_FILE
+    )
+    stream = fs.create(jpath, True)
+    try:
+        stream.write(json.dumps(snap, sort_keys=True).encode())
+    finally:
+        stream.close()
+    return snap
+
+
+def read_snapshot_manifest(
+    spark: SparkSession, location: str
+) -> dict | None:
+    """Load the snapshot manifest at `location`, or None if the table
+    was not written through write_table (no manifest)."""
+    fs, _ = _fs_and_path(spark, location)
+    jvm = spark._jvm  # noqa: SLF001
+    jpath = jvm.org.apache.hadoop.fs.Path(
+        location.rstrip("/") + "/" + SNAPSHOT_FILE
+    )
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return json.loads(text)

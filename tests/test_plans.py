@@ -215,3 +215,46 @@ def test_ann_topk_tail_is_salted(spark):
     assert len(agg_exchanges) == 2, plan
     salted = [e for e in agg_exchanges if "salt" in e]
     assert len(salted) == 1, plan
+
+
+def test_knn_probe_broadcast_flips_at_scale(spark, scenes_df, fixture_dir, monkeypatch):
+    """(VERDICT r4 #5) The scoring join force-broadcasts the pruned
+    probe×cell table only while the probe batch is bounded; past
+    KNN_PROBE_BROADCAST_LIMIT the hint must drop (shuffle equi-join) —
+    and the results must be identical either way."""
+    import os
+
+    queries = spark.read.parquet(
+        os.path.join(fixture_dir, "knn_queries.parquet")
+    )
+    idx = ops.knn_index(scenes_df, level=5)
+
+    # disable planner auto-broadcast so the FORCED hint is the only
+    # thing that can produce a broadcast join — at test scale the
+    # candidate side is tiny and the planner would otherwise broadcast
+    # it on size statistics alone, masking the flip
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        small = ops.knn_join(None, queries, index=idx)
+        plan_small = _plan(small)
+        assert "BroadcastHashJoin" in plan_small  # hint still forces it
+
+        monkeypatch.setattr(ops, "KNN_PROBE_BROADCAST_LIMIT", 10)
+        big = ops.knn_join(None, queries, index=idx)
+        plan_big = _plan(big)
+        assert "CartesianProduct" not in plan_big
+        # the scoring join on (scell, cell) is no longer broadcast
+        joins = [
+            ln
+            for ln in plan_big.splitlines()
+            if "Join" in ln and "scell" in ln
+        ]
+        assert joins, plan_big
+        assert all("Broadcast" not in ln for ln in joins), plan_big
+        # identical output under either plan
+        a = sorted(map(tuple, small.collect()))
+        b = sorted(map(tuple, big.collect()))
+        assert a == b
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -560,3 +560,41 @@ def test_bookkeeping_runs_through_storage_seam():
     assert not streaming._sources_log_covers(work, [0, 9], scenes, fs)
 
     assert not os.path.exists("/mem")  # nothing escaped to the real FS
+
+
+def test_incremental_dedup_matches_batch(spark, tmp_path):
+    """(VERDICT r4 #6) Streamed MinHash-LSH dedup: pairs accumulated
+    across micro-batches == one-shot minhash_lsh_pairs over the full
+    corpus, new files re-shingle only themselves, redelivered batches
+    are idempotent."""
+    from mosaic_engine import textops
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    even = pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)
+    sdir = str(tmp_path / "docs_stream")
+    os.makedirs(sdir)
+    work = str(tmp_path / "dedup_work")
+    datagen.write_parquet(t.filter(even), os.path.join(sdir, "p1.parquet"))
+    n1 = streaming.run_incremental_dedup(spark, sdir, work)
+    assert n1 >= 1
+    datagen.write_parquet(
+        t.filter(pc.invert(even)), os.path.join(sdir, "p2.parquet")
+    )
+    n2 = streaming.run_incremental_dedup(spark, sdir, work)
+    assert n2 >= 1
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # third run: nothing new → no batches, pairs unchanged
+    assert streaming.run_incremental_dedup(spark, sdir, work) == 0
+
+    got = sorted(
+        map(tuple, streaming.incremental_dedup_pairs(spark, work).collect())
+    )
+    want = sorted(
+        map(tuple, textops.minhash_lsh_pairs(docs, max_bucket=None).collect())
+    )
+    assert got == want and len(got) > 0
+    # no duplicate emissions across batches
+    assert len(got) == len(set(got))
