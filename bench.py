@@ -136,7 +136,7 @@ def main():
     # never wedge later runs on a partial index dir
     # v3: the occupancy-verified level pick (r5) changes the banding
     # level for this corpus (8 → 11), so v2 indexes on disk are stale
-    idx_path = os.path.join(CACHE, f"knn_index_v3_{N_SCENES}")
+    idx_path = os.path.join(CACHE, f"knn_index_v4_{N_SCENES}")
     if not os.path.exists(os.path.join(idx_path, "cent", "_SUCCESS")):
         ops.knn_index_save(knn_idx, idx_path)
     timed_reload(

@@ -263,7 +263,12 @@ EARTH_R_M = 6371008.8
 
 
 KNN_MIN_LEVEL = 3
-KNN_MAX_LEVEL = 12
+# cap for the occupancy-verified bump (knn_index): the stats dim is
+# bounded by NONEMPTY cells (≤ corpus rows) at any level, and the
+# knn_join prefilter cascade keeps every |probes|×|cells| pair table
+# bounded, so fine levels are safe — 14 ≈ 2.4 km cells, finer than any
+# scene footprint, past which more levels stop reducing candidates
+KNN_MAX_LEVEL = 14
 
 
 def knn_pick_level(n_scenes: int, k: int) -> int:
@@ -414,7 +419,20 @@ def knn_index(
 
     sc, stats = build(level)
     if auto and level < KNN_MAX_LEVEL:
-        occ = stats.agg(F.avg("n_in_cell")).first()[0] or 0.0
+        # ROW-weighted mean occupancy sum(n²)/sum(n): the occupancy of
+        # the cell containing a RANDOM SCENE — the right statistic
+        # because probe traffic correlates with scene density (a
+        # hotspot holding 20% of the corpus in a handful of cells barely
+        # moves the plain average but dominates what probes actually
+        # scan). Measured on the 1M bench corpus: avg 10.6 vs
+        # row-weighted ~100 at level 11.
+        row = stats.agg(
+            (
+                F.sum(F.col("n_in_cell") * F.col("n_in_cell"))
+                / F.sum("n_in_cell")
+            ).alias("rw")
+        ).first()
+        occ = float(row["rw"] or 0.0)
         target = max(16.0, 4.0 * max(k_hint, 1))
         if occ > 4.0 * target:
             level = min(
@@ -733,58 +751,78 @@ def knn_join(
     )
 
     def _score_partial(batches):
-        import pandas as pd
+        import numpy as np
+        import pyarrow as pa
 
         from . import geometry as geo
 
-        def compact(chunks):
+        def rank_min_keep(tbl: "pa.Table") -> "pa.Table":
             # keep every row whose distance ranks ≤ gk within its query
-            # (method="min" retains ALL boundary ties) — a provable
-            # SUPERSET of the exact top-gk, selected with purely
-            # NUMERIC ops: no object-dtype string sorts ever touch the
-            # multi-million-row stream (a hot task measured 63 s doing
-            # exactly that); the final JVM aggregation applies the
-            # exact (dist_m, image_id) total order to the tiny superset
-            m = pd.concat(chunks, ignore_index=True)
-            r = m.groupby("query_id", sort=False)["dist_m"].rank(
-                method="min"
-            )
-            return m[r <= gk]
+            # (ties at the boundary ALL retained) — a provable SUPERSET
+            # of the exact top-gk, computed with one numeric lexsort:
+            # no pandas frames and no Python string materialization
+            # ever touch the multi-million-row stream (image_id stays
+            # an Arrow buffer end to end); the final JVM aggregation
+            # applies the exact (dist_m, image_id) total order to the
+            # tiny superset
+            qid = tbl.column("query_id").to_numpy(zero_copy_only=False)
+            dist = tbl.column("dist_m").to_numpy(zero_copy_only=False)
+            n = len(qid)
+            order = np.lexsort((dist, qid))
+            qs, ds = qid[order], dist[order]
+            pos = np.arange(n)
+            grp_start = np.empty(n, dtype=bool)
+            grp_start[0] = True
+            np.not_equal(qs[1:], qs[:-1], out=grp_start[1:])
+            grp_first = np.maximum.accumulate(np.where(grp_start, pos, 0))
+            run_start = grp_start.copy()
+            run_start[1:] |= ds[1:] != ds[:-1]
+            run_first = np.maximum.accumulate(np.where(run_start, pos, 0))
+            # 0-based min-rank of each row within its query group
+            rank_min = run_first - grp_first
+            keep_sorted = rank_min < gk
+            keep = np.empty(n, dtype=bool)
+            keep[order] = keep_sorted
+            return tbl.filter(pa.array(keep))
 
         # bounded-memory accumulation (a hot task can stream tens of
         # millions of candidate rows): raw batches buffer until the
-        # doubling threshold, then compact — amortized O(n) rank work
-        # with peak memory ≈ 2 × max(1M, queries-in-task × gk), never
-        # the full candidate stream
+        # doubling threshold, then compact — amortized O(n log n) rank
+        # work with peak memory ≈ 2 × max(1M, queries-in-task × gk),
+        # never the full candidate stream
         parts: list = []
         rows = 0
         floor_ = 1_000_000
         last = 0
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            out = pd.DataFrame(
-                {
-                    "query_id": pdf["query_id"],
-                    "k_req": pdf["k_req"],
-                    "image_id": pdf["image_id"],
-                    "dist_m": geo.haversine_m(
-                        pdf["lon"].to_numpy(),
-                        pdf["lat"].to_numpy(),
-                        pdf["slon"].to_numpy(),
-                        pdf["slat"].to_numpy(),
-                    ),
-                }
+            cols = {name: rb.column(name) for name in rb.schema.names}
+            dist = geo.haversine_m(
+                cols["lon"].to_numpy(zero_copy_only=False),
+                cols["lat"].to_numpy(zero_copy_only=False),
+                cols["slon"].to_numpy(zero_copy_only=False),
+                cols["slat"].to_numpy(zero_copy_only=False),
             )
-            parts.append(out)
-            rows += len(out)
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": cols["query_id"],
+                        "k_req": cols["k_req"],
+                        "image_id": cols["image_id"],
+                        "dist_m": pa.array(dist, pa.float64()),
+                    }
+                )
+            )
+            rows += rb.num_rows
             if rows >= max(floor_, 2 * last) and len(parts) > 1:
-                parts = [compact(parts)]
-                last = rows = len(parts[0])
+                parts = [rank_min_keep(pa.concat_tables(parts))]
+                last = rows = parts[0].num_rows
         if parts:
-            yield compact(parts)
+            out = rank_min_keep(pa.concat_tables(parts))
+            yield from out.to_batches()
 
-    pruned = scored_in.mapInPandas(
+    pruned = scored_in.mapInArrow(
         _score_partial,
         schema="query_id long, k_req int, image_id string, dist_m double",
     )

@@ -266,11 +266,14 @@ def test_knn_auto_level_exact_on_dense_and_sparse(spark, scenes_df):
 
 
 def test_knn_pick_level_heuristic_shape():
-    """~max(16, 4k) scenes per nonempty cell, clamped to [3, 12]."""
+    """~max(16, 4k) scenes per nonempty cell, clamped to
+    [KNN_MIN_LEVEL, KNN_MAX_LEVEL] (cap raised 12 → 14 in r5 for the
+    occupancy-verified bump; knn_index refines this closed-form guess
+    against measured row-weighted occupancy)."""
     assert ops.knn_pick_level(1_000_000, 3) == 8
     assert ops.knn_pick_level(10_000, 3) == 5
     assert ops.knn_pick_level(100, 3) == 3          # clamp low
-    assert ops.knn_pick_level(10**12, 8) == 12      # clamp high
+    assert ops.knn_pick_level(10**12, 8) == ops.KNN_MAX_LEVEL  # clamp high
     assert ops.knn_pick_level(0, 1) == 3            # empty corpus safe
 
 
@@ -436,3 +439,35 @@ def test_rv_join_salted_shape_on_hotspot(spark):
     assert "salt" in plan
     with pytest.raises(ValueError):
         ops.raster_vector_join(scenes, vectors, 8, salt_buckets=0)
+
+
+def test_knn_index_occupancy_bump_on_hotspot(spark):
+    """(r5) The auto level pick must react to MEASURED density: a
+    corpus whose hotspot packs most scenes into a few cells gets a
+    finer banding level than the closed-form guess, and results stay
+    exact."""
+    from pyspark.sql import Row
+
+    from mosaic_engine import datagen
+
+    t = datagen.gen_scenes(
+        n_scenes=5000, paths=10, rows=10, seed=7, payload=False,
+        edge_cases=False, hotspot_frac=0.9,
+    )
+    df = spark.createDataFrame(t.to_pandas())
+    guess = ops.knn_pick_level(df.count(), 8)
+    idx = ops.knn_index(df, k_hint=8)
+    assert idx.level > guess, (idx.level, guess)
+
+    probes = spark.createDataFrame(
+        [Row(query_id=i, lon=-119.0 + i * 0.7, lat=34.0 + i * 0.3, k=4)
+         for i in range(6)]
+    )
+    got = sorted(
+        map(tuple, ops.knn_join(None, probes, index=idx).collect())
+    )
+    want = sorted(map(tuple, ops.knn_bruteforce(df, probes).collect()))
+    # bruteforce emits rank as long and knn_join as int — compare values
+    assert [(q, int(r), i, d) for q, r, i, d in got] == [
+        (q, int(r), i, d) for q, r, i, d in want
+    ]
