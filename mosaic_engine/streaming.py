@@ -565,11 +565,9 @@ def run_incremental_dedup(
         # parquet lineage instead of re-running the shingle explode
         nb = spark.read.parquet(band_path)
         within = textops.banded_candidate_pairs(nb, max_bucket=None)
-        prev_paths = [
-            os.path.join(bands_dir, d)
-            for d in _named_batch_dirs(bands_dir, fs)
-            if int(d.split("=", 1)[1]) < bid
-        ]
+        # previous state = the compacted generation (if any) + earlier
+        # non-folded batch partitions, via the manifest
+        prev_paths = _log_paths(work_dir, "bands", fs, before_batch=bid)
         if prev_paths:
             prev = spark.read.parquet(*prev_paths)
             cross = (
@@ -600,17 +598,119 @@ def run_incremental_dedup(
     return n_batches["n"]
 
 
+def _log_paths(
+    work_dir: str,
+    log: str,
+    fs: StorageClient,
+    before_batch: int | None = None,
+) -> list[str]:
+    """Live data paths of a manifest-governed per-batch log: the
+    committed compacted generation (if any) plus every non-folded
+    batch partition — optionally only batches with id < before_batch
+    (the incremental-dedup 'previous state' view; the compacted
+    generation always qualifies because compaction only folds batches
+    that ran before the current one)."""
+    man = _read_manifest(work_dir, fs)
+    folded = set(man["folded"])
+    paths: list[str] = []
+    if man["gen"] is not None:
+        paths.append(
+            os.path.join(work_dir, f"{log}_compacted", f"gen={man['gen']}")
+        )
+    log_dir = os.path.join(work_dir, f"{log}_log")
+    for d in _named_batch_dirs(log_dir, fs):
+        bid = int(d.split("=", 1)[1])
+        if bid in folded:
+            continue
+        if before_batch is not None and bid >= before_batch:
+            continue
+        paths.append(os.path.join(log_dir, d))
+    return paths
+
+
+def compact_dedup_logs(
+    spark: SparkSession,
+    work_dir: str,
+    target_partitions: int = 16,
+    fs: StorageClient | None = None,
+) -> int:
+    """Compact a run_incremental_dedup work_dir: fold the per-batch
+    bands_log AND pairs_log partitions into the next
+    {bands,pairs}_compacted/gen=<k> generations, committed by ONE
+    manifest replace (both logs share the folded-batch set, so a crash
+    between the two writes and the commit leaves only invisible
+    garbage — same scheme as compact_tiles_log). Long incremental runs
+    otherwise accumulate one small dir per micro-batch per log AND pay
+    an O(batches) listing+read on every new batch's cross join.
+
+    Contract: run between run_incremental_dedup invocations. Returns
+    the number of live batch partitions folded (0 = nothing to do)."""
+    fs = fs or LOCAL_FS
+    man = _read_manifest(work_dir, fs)
+    folded = set(man["folded"])
+    # GC garbage from earlier crashes for both logs
+    for log in ("bands", "pairs"):
+        log_dir = os.path.join(work_dir, f"{log}_log")
+        for d in _named_batch_dirs(log_dir, fs):
+            if int(d.split("=", 1)[1]) in folded:
+                fs.delete_tree(os.path.join(log_dir, d))
+        comp_root = os.path.join(work_dir, f"{log}_compacted")
+        if fs.isdir(comp_root):
+            for g in fs.listdir(comp_root):
+                if g.startswith("gen=") and (
+                    man["gen"] is None or g != f"gen={man['gen']}"
+                ):
+                    fs.delete_tree(os.path.join(comp_root, g))
+    bands_live = _log_paths(work_dir, "bands", fs)
+    if len(bands_live) <= 1:
+        return 0
+    new_gen = 0 if man["gen"] is None else man["gen"] + 1
+    for log in ("bands", "pairs"):
+        live = _log_paths(work_dir, log, fs)
+        gen_dir = os.path.join(
+            work_dir, f"{log}_compacted", f"gen={new_gen}"
+        )
+        spark.read.parquet(*live).repartition(
+            target_partitions
+        ).write.parquet(gen_dir)
+    new_folded = folded | {
+        int(d.split("=", 1)[1])
+        for d in _named_batch_dirs(
+            os.path.join(work_dir, "bands_log"), fs
+        )
+    }
+    _write_manifest(
+        work_dir,
+        {
+            "gen": new_gen,
+            "folded": sorted(new_folded),
+            "chk_id": _chk_query_id(work_dir, fs) or man["chk_id"],
+        },
+        fs,
+    )
+    # post-commit cleanup (best-effort; next call GCs leftovers)
+    for log in ("bands", "pairs"):
+        log_dir = os.path.join(work_dir, f"{log}_log")
+        for d in _named_batch_dirs(log_dir, fs):
+            fs.delete_tree(os.path.join(log_dir, d))
+        if man["gen"] is not None:
+            fs.delete_tree(
+                os.path.join(
+                    work_dir, f"{log}_compacted", f"gen={man['gen']}"
+                )
+            )
+    return len(bands_live)
+
+
 def incremental_dedup_pairs(
     spark: SparkSession, work_dir: str, fs: StorageClient | None = None
 ) -> "DataFrame":
     """The accumulated near-dup candidate pairs of a
     run_incremental_dedup work_dir (distinct by construction — each
-    pair is emitted by exactly one batch)."""
+    pair is emitted by exactly one batch), resolved through the
+    manifest (compacted generation + live batch partitions)."""
     fs = fs or LOCAL_FS
-    pairs_dir = os.path.join(work_dir, "pairs_log")
-    dirs = [
-        os.path.join(pairs_dir, d) for d in _named_batch_dirs(pairs_dir, fs)
-    ]
+    dirs = _log_paths(work_dir, "pairs", fs)
     if not dirs:
         raise ValueError(
             f"work_dir {work_dir} holds no pairs — run "

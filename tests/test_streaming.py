@@ -598,3 +598,52 @@ def test_incremental_dedup_matches_batch(spark, tmp_path):
     assert got == want and len(got) > 0
     # no duplicate emissions across batches
     assert len(got) == len(set(got))
+
+
+def test_incremental_dedup_compaction_preserves_equivalence(spark, tmp_path):
+    """(r5) compact_dedup_logs folds both per-batch logs into one
+    committed generation: results stay equal to one-shot batch pairs,
+    later batches join against the compacted state, and folded batch
+    dirs are GC'd."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from mosaic_engine import textops
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    third = pc.less(pc.bit_wise_and(t["doc_id"], 3), 1)  # ~quarter
+    mid = pc.and_(
+        pc.invert(third), pc.less(pc.bit_wise_and(t["doc_id"], 3), 3)
+    )
+    rest = pc.equal(pc.bit_wise_and(t["doc_id"], 3), 3)
+    sdir = str(tmp_path / "docs_stream_c")
+    os.makedirs(sdir)
+    work = str(tmp_path / "dedup_work_c")
+    datagen.write_parquet(t.filter(third), os.path.join(sdir, "p1.parquet"))
+    streaming.run_incremental_dedup(spark, sdir, work)
+    datagen.write_parquet(t.filter(mid), os.path.join(sdir, "p2.parquet"))
+    streaming.run_incremental_dedup(spark, sdir, work)
+
+    folded = streaming.compact_dedup_logs(spark, work, target_partitions=2)
+    assert folded >= 2
+    # batch dirs folded away; state resolves through the generation
+    assert streaming._named_batch_dirs(
+        os.path.join(work, "bands_log")
+    ) == []
+    assert streaming._log_paths(work, "bands", streaming.LOCAL_FS) == [
+        os.path.join(work, "bands_compacted", "gen=0")
+    ]
+    # second compaction is a no-op
+    assert streaming.compact_dedup_logs(spark, work) == 0
+
+    # a third file joins against the COMPACTED state
+    datagen.write_parquet(t.filter(rest), os.path.join(sdir, "p3.parquet"))
+    assert streaming.run_incremental_dedup(spark, sdir, work) >= 1
+    got = sorted(
+        map(tuple, streaming.incremental_dedup_pairs(spark, work).collect())
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    want = sorted(
+        map(tuple, textops.minhash_lsh_pairs(docs, max_bucket=None).collect())
+    )
+    assert got == want and len(got) > 0
