@@ -1476,16 +1476,22 @@ def _mm_fixture_path(name: str) -> str:
     os.replace(tmp, path)
     # GC superseded generations (ADVICE r4): every datagen/oracle/
     # imageops edit mints a new hash, so without this the dir grows one
-    # stale parquet per fixture per edit. Best-effort — a concurrent
-    # reader of an old generation on POSIX keeps its open handle.
+    # stale parquet per fixture per edit. Only generations idle for
+    # >1 h are removed: a path handed to a concurrently-running older-
+    # code process may not be OPENED yet (lazy scan), and POSIX handle
+    # retention protects only already-open files — the age guard covers
+    # that returned-path-then-lazy-read window.
     import glob
+    import time as _time
 
     for old in glob.glob(os.path.join(_MM_DIR, f"{name}.*.parquet")):
-        if old != path:
-            try:
+        if old == path:
+            continue
+        try:
+            if _time.time() - os.path.getmtime(old) > 3600:
                 os.remove(old)
-            except OSError:
-                pass
+        except OSError:
+            pass
     return path
 
 

@@ -134,9 +134,18 @@ def main():
     # existence sentinel = the LAST artifact's _SUCCESS marker (Spark
     # creates output dirs before committing), so an interrupted save can
     # never wedge later runs on a partial index dir
-    # v3: the occupancy-verified level pick (r5) changes the banding
-    # level for this corpus (8 → 11), so v2 indexes on disk are stale
+    # v4: the r5 level pick evolved twice (avg-occupancy bump → row-
+    # weighted occupancy bump), each changing this corpus's on-disk
+    # banding level, so earlier generations are stale; superseded
+    # knn_index_v*_ dirs are GC'd so each key bump doesn't leave a
+    # multi-GB orphan in the cache forever
+    import glob as _glob
+    import shutil as _shutil
+
     idx_path = os.path.join(CACHE, f"knn_index_v4_{N_SCENES}")
+    for old in _glob.glob(os.path.join(CACHE, f"knn_index_v*_{N_SCENES}")):
+        if old != idx_path:
+            _shutil.rmtree(old, ignore_errors=True)
     if not os.path.exists(os.path.join(idx_path, "cent", "_SUCCESS")):
         ops.knn_index_save(knn_idx, idx_path)
     timed_reload(

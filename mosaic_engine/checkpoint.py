@@ -81,19 +81,27 @@ def input_snapshot_hash(df: DataFrame) -> str:
     parts = []
     for uri in sorted(df.inputFiles()):
         sid = _snapshot_id(posixpath.dirname(uri))
-        if sid is not None:
-            parts.append(f"{uri}|snap:{sid}")
-            continue
+        stat_part = ""
         parsed = urlparse(uri)
         if parsed.scheme in ("", "file"):
             try:
                 # inputFiles() percent-encodes (spaces, non-ASCII)
                 st = os.stat(unquote(parsed.path) or uri)
-                parts.append(f"{uri}|{st.st_size}|{st.st_mtime_ns}")
-                continue
+                stat_part = f"|{st.st_size}|{st.st_mtime_ns}"
             except OSError:
                 pass
-        parts.append(uri)
+        if sid is not None:
+            # snapshot AND stat evidence combine (not either/or): the
+            # snapshot catches same-name rewrites a remote/forged-stat
+            # path hides, while the stat still catches a local rewrite
+            # performed BEHIND write_table's back (pyarrow overwriting
+            # data files under a surviving _snapshot.json) — dropping
+            # it would regress the pre-snapshot guarantee.
+            parts.append(f"{uri}|snap:{sid}{stat_part}")
+        elif stat_part:
+            parts.append(f"{uri}{stat_part}")
+        else:
+            parts.append(uri)
     return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:16]
 
 

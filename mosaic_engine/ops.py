@@ -22,6 +22,7 @@ Design notes (scale-first, SURVEY.md §4):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, Window
@@ -33,8 +34,11 @@ DEFAULT_SALT_BUCKETS = 16
 # above this probe count the kNN scoring join stops force-broadcasting
 # the (probe, cell) candidate table (see knn_join)
 KNN_PROBE_BROADCAST_LIMIT = 50_000
-# introspection hook: knn_join drops its (pruned candidate, scoring
-# join) DataFrames here so plan/volume diagnostics need no replumbing
+# introspection hook: when MOSAIC_KNN_DEBUG=1, knn_join drops its
+# (pruned candidate, scoring join) DataFrames here so plan/volume
+# diagnostics need no replumbing. Off by default — the hook would
+# otherwise pin the last call's full plan lineage in module scope for
+# the life of the process.
 _KNN_DEBUG: dict = {}
 
 SEASON_MONTHS = {
@@ -277,8 +281,11 @@ def knn_pick_level(n_scenes: int, k: int) -> int:
     candidate work per probe stays ~k·C while the |probes| × |cells|
     bound table stays small. Exactness does NOT depend on the choice
     (the R* bound math is level-independent); this only positions the
-    cost knee. Clamped to [3, 12]: coarser than 3 prunes nothing,
-    finer than 12 makes the stats dim itself the bottleneck."""
+    cost knee. Clamped to [KNN_MIN_LEVEL, KNN_MAX_LEVEL] — coarser
+    than 3 prunes nothing; the upper cap's rationale lives at the
+    KNN_MAX_LEVEL definition. This closed-form guess assumes the
+    corpus spreads into n/target cells; knn_index refines it against
+    MEASURED row-weighted occupancy."""
     import math
 
     target = max(16.0, 4.0 * max(k, 1))
@@ -531,22 +538,24 @@ def knn_join(
     aggregate), so each probe meets only the fine cells inside its
     surviving regions instead of every nonempty cell.
     """
+    # element_at/slice ordinals must be INT (queries may carry k as long)
+    kcol = (F.lit(k) if k is not None else F.col("k")).cast("int")
+    # ONE aggregate job over the (narrow) probe table supplies the row
+    # count (broadcast-flip decision), the global max k (scoring
+    # partial bound AND the auto-level k_hint) — merged so the probe
+    # table is scanned once per call, not once per consumer
+    prow = queries.agg(
+        F.count("*").alias("n"), F.max(kcol).alias("gk")
+    ).first()
+    probe_rows = int(prow["n"] or 0)
+    gk = int(prow["gk"] or 1)
+
     if index is None:
         if level is None:
-            # the max(k) probe-table job runs ONLY when it's actually
-            # needed (auto level with per-query k)
-            kv = (
-                k
-                if k is not None
-                else (queries.agg(F.max("k")).first()[0] or 1)
-            )
-            index = knn_index(scenes, k_hint=int(kv))
+            index = knn_index(scenes, k_hint=gk)
         else:
             index = knn_index(scenes, level=level)
     level, sc, stats = index.level, index.cent, index.stats
-
-    # element_at/slice ordinals must be INT (queries may carry k as long)
-    kcol = (F.lit(k) if k is not None else F.col("k")).cast("int")
     # normalize probe lon into [-180, 180): haversine is 360-periodic
     # (knn_bruteforce scores lon=190 correctly) but the rect lower bound
     # below tests `cw <= lon <= ce` literally — an out-of-range probe
@@ -563,15 +572,11 @@ def knn_join(
     # would push a multi-hundred-MB broadcast through every executor,
     # so past the limit the hint is dropped: the scoring join becomes a
     # plain shuffle equi-join on (scell, cell) — the right plan when
-    # the probe batch itself is cluster-scale data. ONE aggregate job
-    # on the (narrow) probe table supplies both the row count and the
-    # global max k the scoring partial needs; serving callers amortize
-    # it across the batch.
-    prow = queries.agg(
-        F.count("*").alias("n"), F.max(kcol).alias("gk")
-    ).first()
-    probe_rows = int(prow["n"] or 0)
-    gk = int(prow["gk"] or 1)
+    # the probe batch itself is cluster-scale data. The flip consumes
+    # the probe-table aggregate computed once above (an eager job at
+    # plan-construction time — deliberate: gk and the join strategy
+    # must be known before the plan exists, and the probe table is the
+    # narrow side by contract).
     probe_bcast = (
         F.broadcast
         if probe_rows <= KNN_PROBE_BROADCAST_LIMIT
@@ -729,7 +734,8 @@ def knn_join(
     # pruning: only the storage regions holding candidate cells are read
     cand = cand.withColumn("scell", _storage_cell_col(F.col("cell"), level))
     joined = sc.join(probe_bcast(cand), ["scell", "cell"])
-    _KNN_DEBUG.update(cand=cand, joined=joined)
+    if os.environ.get("MOSAIC_KNN_DEBUG"):
+        _KNN_DEBUG.update(cand=cand, joined=joined)
     # ---- fused score + partial top-k (r5, replacing the salted
     # collect_list two-phase of r4): ONE Arrow stage computes the exact
     # numpy haversine (the identical geometry.haversine_m kernel the

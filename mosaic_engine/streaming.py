@@ -661,24 +661,42 @@ def compact_dedup_logs(
                     man["gen"] is None or g != f"gen={man['gen']}"
                 ):
                     fs.delete_tree(os.path.join(comp_root, g))
-    bands_live = _log_paths(work_dir, "bands", fs)
-    if len(bands_live) <= 1:
-        return 0
+
+    def _ids(log: str) -> set[int]:
+        return {
+            int(d.split("=", 1)[1])
+            for d in _named_batch_dirs(
+                os.path.join(work_dir, f"{log}_log"), fs
+            )
+        }
+
+    # fold ONLY batches whose BANDS AND PAIRS both committed: a handle()
+    # that crashed between its two writes leaves a bands-only dir, and
+    # folding it would mark the batch done while its pairs were never
+    # emitted — redelivery would then skip it and silently lose every
+    # pair whose later member arrived in that batch. A one-sided dir is
+    # left for the redelivered batch to overwrite-complete.
+    complete = _ids("bands") & _ids("pairs")
     new_gen = 0 if man["gen"] is None else man["gen"] + 1
+    folded_now = 0
     for log in ("bands", "pairs"):
-        live = _log_paths(work_dir, log, fs)
+        live = ([
+            os.path.join(work_dir, f"{log}_compacted", f"gen={man['gen']}")
+        ] if man["gen"] is not None else []) + [
+            os.path.join(work_dir, f"{log}_log", f"batch_id={b}")
+            for b in sorted(complete)
+        ]
+        if log == "bands":
+            folded_now = len(live)
+            if len(live) <= 1:
+                return 0
         gen_dir = os.path.join(
             work_dir, f"{log}_compacted", f"gen={new_gen}"
         )
         spark.read.parquet(*live).repartition(
             target_partitions
         ).write.parquet(gen_dir)
-    new_folded = folded | {
-        int(d.split("=", 1)[1])
-        for d in _named_batch_dirs(
-            os.path.join(work_dir, "bands_log"), fs
-        )
-    }
+    new_folded = folded | complete
     _write_manifest(
         work_dir,
         {
@@ -688,18 +706,20 @@ def compact_dedup_logs(
         },
         fs,
     )
-    # post-commit cleanup (best-effort; next call GCs leftovers)
+    # post-commit cleanup (best-effort; next call GCs leftovers). Only
+    # the FOLDED (two-sided) batch dirs are removed — a one-sided dir
+    # from a mid-handle crash stays for its redelivery to complete.
     for log in ("bands", "pairs"):
         log_dir = os.path.join(work_dir, f"{log}_log")
-        for d in _named_batch_dirs(log_dir, fs):
-            fs.delete_tree(os.path.join(log_dir, d))
+        for b in complete:
+            fs.delete_tree(os.path.join(log_dir, f"batch_id={b}"))
         if man["gen"] is not None:
             fs.delete_tree(
                 os.path.join(
                     work_dir, f"{log}_compacted", f"gen={man['gen']}"
                 )
             )
-    return len(bands_live)
+    return folded_now
 
 
 def incremental_dedup_pairs(

@@ -647,3 +647,38 @@ def test_incremental_dedup_compaction_preserves_equivalence(spark, tmp_path):
         map(tuple, textops.minhash_lsh_pairs(docs, max_bucket=None).collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_dedup_compaction_skips_one_sided_crash_batches(spark, tmp_path):
+    """(r5 review) A batch whose handle crashed between its bands write
+    and its pairs write must NOT be folded by compaction — folding it
+    would mark it done with its pairs never emitted. The one-sided dir
+    survives for the redelivered batch to overwrite-complete."""
+    import shutil
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    even = pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)
+    sdir = str(tmp_path / "docs_stream_x")
+    os.makedirs(sdir)
+    work = str(tmp_path / "dedup_work_x")
+    datagen.write_parquet(t.filter(even), os.path.join(sdir, "p1.parquet"))
+    streaming.run_incremental_dedup(spark, sdir, work)
+    datagen.write_parquet(
+        t.filter(pc.invert(even)), os.path.join(sdir, "p2.parquet")
+    )
+    streaming.run_incremental_dedup(spark, sdir, work)
+
+    # simulate the crash: a bands dir with no matching pairs dir
+    shutil.copytree(
+        os.path.join(work, "bands_log", "batch_id=0"),
+        os.path.join(work, "bands_log", "batch_id=9"),
+    )
+    streaming.compact_dedup_logs(spark, work, target_partitions=2)
+    man = streaming._read_manifest(work)
+    assert 0 in man["folded"] and 9 not in man["folded"]
+    # the one-sided dir is untouched, awaiting redelivery
+    assert os.path.isdir(os.path.join(work, "bands_log", "batch_id=9"))
+    assert not os.path.isdir(os.path.join(work, "bands_log", "batch_id=0"))
