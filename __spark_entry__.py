@@ -452,9 +452,11 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def sql_dedup_exact():
+    # text IS NOT NULL mirrors the engine (r5 review): NULL texts must
+    # not collapse into one "duplicate" group
     return (
         "SELECT min(doc_id) AS canonical_id, count(*) AS n_copies "
-        "FROM documents GROUP BY text"
+        "FROM documents WHERE text IS NOT NULL GROUP BY text"
     )
 
 
@@ -708,9 +710,13 @@ def sql_lang_id():
         f"c AS (SELECT doc_id, {counts} FROM t GROUP BY doc_id), "
         f"p AS (SELECT doc_id, {pred} AS pred_lang, "
         f"CAST({best} AS BIGINT) AS n_markers FROM c) "
-        "SELECT d.doc_id AS doc_id, pred_lang, n_markers, "
-        "(pred_lang = d.lang) AS match_meta "
-        "FROM documents d JOIN p ON d.doc_id = p.doc_id"
+        # LEFT join + zero-marker defaults mirror the engine (r5
+        # review): a zero-token doc classifies as the default language
+        f"SELECT d.doc_id AS doc_id, "
+        f"COALESCE(pred_lang, '{langs[0]}') AS pred_lang, "
+        "CAST(COALESCE(n_markers, 0) AS BIGINT) AS n_markers, "
+        f"(COALESCE(pred_lang, '{langs[0]}') = d.lang) AS match_meta "
+        "FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id"
     )
 
 
@@ -728,15 +734,25 @@ def sql_quality():
         "FROM t GROUP BY doc_id), "
         "b AS (SELECT doc_id, length(text) AS n_chars_txt, "
         "length(text) - length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS n_punct "
-        "FROM documents) "
-        "SELECT b.doc_id AS doc_id, n_tokens, "
-        "CAST(tok_chars AS DOUBLE) / n_tokens AS mean_tok_len, "
-        "CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio, "
-        "CAST(n_punct AS DOUBLE) / n_chars_txt AS punct_ratio, "
+        "FROM documents), "
+        # LEFT join + empty-denominator → 0.0 mirror the engine (r5
+        # review): zero-token / NULL-text docs score instead of
+        # vanishing
+        "g AS (SELECT b.doc_id AS doc_id, "
+        "COALESCE(n_tokens, 0) AS n_tokens, "
+        "COALESCE(tok_chars, 0) AS tok_chars, "
+        "COALESCE(n_stop, 0) AS n_stop, "
+        "COALESCE(n_chars_txt, 0) AS n_chars_txt, "
+        "COALESCE(n_punct, 0) AS n_punct "
+        "FROM b LEFT JOIN ts ON b.doc_id = ts.doc_id) "
+        "SELECT doc_id, n_tokens, "
+        "CASE WHEN n_tokens > 0 THEN CAST(tok_chars AS DOUBLE) / n_tokens ELSE 0.0 END AS mean_tok_len, "
+        "CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio, "
+        "CASE WHEN n_chars_txt > 0 THEN CAST(n_punct AS DOUBLE) / n_chars_txt ELSE 0.0 END AS punct_ratio, "
         "least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 "
-        "+ (CAST(n_stop AS DOUBLE) / n_tokens) * 0.4 "
-        "+ (1.0 - CAST(n_punct AS DOUBLE) / n_chars_txt) * 0.2 AS quality "
-        "FROM b JOIN ts ON b.doc_id = ts.doc_id"
+        "+ (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) * 0.4 "
+        "+ (1.0 - CASE WHEN n_chars_txt > 0 THEN CAST(n_punct AS DOUBLE) / n_chars_txt ELSE 0.0 END) * 0.2 AS quality "
+        "FROM g"
     )
 
 

@@ -50,13 +50,26 @@ def quantized(col) -> Column:
 def dot_long(a, b) -> Column:
     """Exact integer dot product of two array<long> columns.
 
-    zip_with pads the shorter array with nulls — coalesce keeps a
-    dimension mismatch from silently nulling the whole sum."""
-    return F.aggregate(
+    A dimension mismatch raises loudly (r5 review): zip_with would pad
+    the shorter array and a coalesce-to-0 would hand a corrupt
+    wrong-DIM vector a plausible-but-wrong score — the IVF path
+    already fails loud on the same input, and the ANN paths must
+    agree. NULL arrays pass through as NULL (dropped by _nonzero)."""
+    val = F.aggregate(
         F.zip_with(a, b, lambda x, y: F.coalesce(x * y, F.lit(0).cast("long"))),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
+    return F.when(
+        a.isNotNull() & b.isNotNull() & (F.size(a) != F.size(b)),
+        F.raise_error(
+            F.format_string(
+                "dot_long: embedding dimension mismatch (%d vs %d)",
+                F.size(a),
+                F.size(b),
+            )
+        ).cast("long"),
+    ).otherwise(val)
 
 
 def with_quantized(emb: DataFrame) -> DataFrame:
@@ -149,13 +162,10 @@ def cosine_topk(
 
 
 def lsh_bucket_col(qcol) -> Column:
-    """Random-hyperplane LSH bucket (integer-exact sign bits)."""
-    bucket = F.lit(0)
-    for j in range(N_PLANES):
-        w = F.array(*[F.lit(v) for v in PLANES[j]])
-        d = dot_long(qcol, w)
-        bucket = bucket + F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return bucket
+    """Random-hyperplane LSH bucket (integer-exact sign bits) — the
+    full-width special case of lsh_band_col, kept as ONE definition so
+    the sign/tie convention can never desynchronize (r5 review)."""
+    return lsh_band_col(qcol, 0, N_PLANES)
 
 
 def lsh_buckets(emb: DataFrame) -> DataFrame:
@@ -306,6 +316,13 @@ def _ivf_assign_col(cents, qcol: str) -> Column:
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
 
+    if not cents:
+        raise ValueError(
+            "ivf: no centroids — the deterministic seed takes the "
+            f"vectors with vec_id < n_list (default {N_LIST}); an "
+            "empty/zero-norm corpus or one whose vec_ids do not start "
+            "at 0 yields none (r5 review: was an opaque IndexError)"
+        )
     cids = np.array([c for c, _ in cents], dtype=np.int64)
     C = np.array([v for _, v in cents], dtype=np.int64)
     ncc = (C * C).sum(axis=1)
@@ -424,6 +441,12 @@ def ivf_topk(
     else:
         if cents is None:
             cents = ivf_centroids(emb, n_list=n_list)
+        else:
+            # the documented min-cid tie-break relies on a cid-sorted
+            # list (argmax takes the FIRST max) — internal producers
+            # sort; an unsorted caller-supplied list must not silently
+            # change assignment determinism (r5 review)
+            cents = sorted(cents)
         base = _nonzero(with_quantized(emb)).withColumn(
             "cid", _ivf_assign_col(cents, "q")
         )
@@ -452,6 +475,11 @@ def _ivf_probe_col(cents, qcol: str, n_probe: int) -> Column:
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
 
+    if not cents:
+        raise ValueError(
+            "ivf: no centroids to probe (see _ivf_assign_col — empty "
+            "or non-0-seeded corpus)"
+        )
     cids = np.array([c for c, _ in cents], dtype=np.int64)
     C = np.array([v for _, v in cents], dtype=np.int64)
     ncc = (C * C).sum(axis=1)
@@ -483,7 +511,10 @@ def _ivf_probe_col(cents, qcol: str, n_probe: int) -> Column:
 
 
 def recall_stats(
-    emb: DataFrame, n_queries: int = 10, k: int = 5
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    index: IvfIndex | None = None,
 ) -> DataFrame:
     """ANN recall observability (VERDICT r4 #7): recall@k of each
     approximate path against the exact brute-force top-k on the same
@@ -504,10 +535,14 @@ def recall_stats(
         .localCheckpoint(eager=True)
     )
     qids = brute.select("query_id").distinct()
+    # a monitoring job that already holds the serving IvfIndex passes
+    # it in so the recall check doesn't retrain k-means per invocation
+    # (r5 review); the default path stays deterministic-from-data for
+    # the SQL oracle
     methods = [
         ("lsh_p1", ann_lsh_topk(emb, n_queries, k)),
         ("lsh_p3", ann_lsh_topk(emb, n_queries, k, n_probes=3)),
-        ("ivf_p2", ivf_topk(emb, n_queries, k, n_probe=2)),
+        ("ivf_p2", ivf_topk(emb, n_queries, k, n_probe=2, index=index)),
     ]
     parts = []
     for name, approx in methods:
@@ -577,7 +612,11 @@ def neardup_pairs(
             "degenerates every band to one all-corpus bucket"
         )
     rows = N_PLANES // bands
-    base = _nonzero(with_quantized(emb))
+    # localCheckpoint: the quantization feeds `bands` band branches,
+    # the guard's bucket-size join, and BOTH verify joins (qa/qb) —
+    # without pinning, the full-corpus scan+quantize re-executes ~5×
+    # per action (same rationale as minhash_banded / simhash_pairs)
+    base = _nonzero(with_quantized(emb)).localCheckpoint(eager=True)
     parts = [
         base.select(
             "vec_id",

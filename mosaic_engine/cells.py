@@ -59,6 +59,19 @@ def pack_cell(xs, ys, level: int) -> np.ndarray:
         raise ValueError(f"cell level must be in [0, 29] (got {level})")
     xs = np.asarray(xs, dtype=np.int64)
     ys = np.asarray(ys, dtype=np.int64)
+    # fail-loud range check (r5 review): the morton interleave masks to
+    # 30 bits, so an out-of-range coord would silently alias to a
+    # wrong-but-well-formed cell id (x = 2^30 + 1 packs like x = 1) and
+    # downstream joins would mismatch without a trace — the same
+    # convention as lonlat_to_tile's NaN raise and cell_parent's guard
+    n = np.int64(1) << np.int64(level)
+    if xs.size and (
+        (xs < 0).any() or (xs >= n).any() or (ys < 0).any() or (ys >= n).any()
+    ):
+        raise ValueError(
+            f"pack_cell: tile coords out of range for level {level} "
+            f"(valid [0, {int(n)}))"
+        )
     morton = _part1by1(xs) | (_part1by1(ys) << np.uint64(1))
     return ((morton << np.uint64(6)) | np.uint64(level)).astype(np.int64)
 

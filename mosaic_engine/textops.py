@@ -115,9 +115,15 @@ def shingles(docs: DataFrame, w: int = 2) -> DataFrame:
 
 
 def dedup_exact(docs: DataFrame) -> DataFrame:
-    """Exact dedup: canonical (min) doc_id per identical text."""
+    """Exact dedup: canonical (min) doc_id per identical text.
+
+    NULL-text docs are excluded (r5 review): groupBy treats NULLs as
+    equal, so a corpus where extraction failed for many docs would
+    collapse them into ONE "duplicate" group and a keep-canonical step
+    would silently drop distinct (merely unreadable) documents."""
     return (
-        docs.groupBy("text")
+        docs.filter(F.col("text").isNotNull())
+        .groupBy("text")
         .agg(
             F.min("doc_id").alias("canonical_id"),
             F.count("*").alias("n_copies"),
@@ -737,14 +743,21 @@ def lang_id(docs: DataFrame) -> DataFrame:
         pred = F.when(cond, F.lit(lg)).otherwise(pred)
         best = F.when(cond, F.col(f"c_{lg}")).otherwise(best)
     out = counts.select("doc_id", pred.alias("pred_lang"), best.alias("n_markers"))
+    # LEFT join (r5 review): a zero-token doc produces no rows in
+    # tokens() and an inner join would silently drop it from the
+    # output — it classifies as the zero-marker default instead
     return (
         docs.select("doc_id", "lang")
-        .join(out, "doc_id")
+        .join(out, "doc_id", "left")
         .select(
             "doc_id",
-            "pred_lang",
-            "n_markers",
-            (F.col("pred_lang") == F.col("lang")).alias("match_meta"),
+            F.coalesce("pred_lang", F.lit(langs[0])).alias("pred_lang"),
+            F.coalesce("n_markers", F.lit(0).cast("long")).alias(
+                "n_markers"
+            ),
+            (
+                F.coalesce("pred_lang", F.lit(langs[0])) == F.col("lang")
+            ).alias("match_meta"),
         )
     )
 
@@ -768,21 +781,37 @@ def quality_score(docs: DataFrame) -> DataFrame:
             - F.length(F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", ""))
         ).alias("n_punct"),
     )
-    j = base.join(ts, "doc_id")
+    # LEFT join + guards (r5 review): zero-token docs — pure
+    # punctuation, empty or NULL text — are exactly what a quality
+    # score exists to flag; an inner join dropped them and under ANSI
+    # mode the unguarded divisions would abort on n_tokens = 0.
+    # Convention: ratios over an empty denominator are 0.0, so such a
+    # doc scores 0.4·0 + 0.4·0 + 0.2·(1 − punct_ratio).
+    j = base.join(ts, "doc_id", "left")
+    n_tok = F.coalesce("n_tokens", F.lit(0).cast("long"))
+    n_stop = F.coalesce("n_stop", F.lit(0).cast("long"))
+    tok_chars = F.coalesce("tok_chars", F.lit(0).cast("long"))
+    n_chars = F.coalesce("n_chars_txt", F.lit(0))
+    n_punct = F.coalesce("n_punct", F.lit(0))
+    mean_tok = F.when(
+        n_tok > 0, tok_chars.cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        n_tok > 0, n_stop.cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_chars > 0, n_punct.cast("double") / n_chars
+    ).otherwise(F.lit(0.0))
     return j.select(
         "doc_id",
-        "n_tokens",
-        (F.col("tok_chars").cast("double") / F.col("n_tokens")).alias("mean_tok_len"),
-        (F.col("n_stop").cast("double") / F.col("n_tokens")).alias("stop_ratio"),
-        (F.col("n_punct").cast("double") / F.col("n_chars_txt")).alias("punct_ratio"),
+        n_tok.alias("n_tokens"),
+        mean_tok.alias("mean_tok_len"),
+        stop_ratio.alias("stop_ratio"),
+        punct_ratio.alias("punct_ratio"),
         (
-            F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0)) * 0.4
-            + (F.col("n_stop").cast("double") / F.col("n_tokens")) * 0.4
-            + (
-                F.lit(1.0)
-                - F.col("n_punct").cast("double") / F.col("n_chars_txt")
-            )
-            * 0.2
+            F.least(n_tok.cast("double") / 100.0, F.lit(1.0)) * 0.4
+            + stop_ratio * 0.4
+            + (F.lit(1.0) - punct_ratio) * 0.2
         ).alias("quality"),
     )
 

@@ -471,3 +471,18 @@ def test_knn_index_occupancy_bump_on_hotspot(spark):
     assert [(q, int(r), i, d) for q, r, i, d in got] == [
         (q, int(r), i, d) for q, r, i, d in want
     ]
+
+
+def test_pack_cell_rejects_out_of_range_coords():
+    """(r5 review) Morton packing masks to 30 bits, so out-of-range
+    coords would alias silently — they must raise instead."""
+    import pytest as _pytest
+
+    cells.pack_cell(np.array([3]), np.array([0]), 2)  # max valid
+    for xs, ys, lv in (
+        ([4], [0], 2),
+        ([0], [-1], 2),
+        ([1 << 30], [0], 29),
+    ):
+        with _pytest.raises(ValueError, match="out of range"):
+            cells.pack_cell(np.array(xs), np.array(ys), lv)

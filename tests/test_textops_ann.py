@@ -631,3 +631,74 @@ def test_recall_stats_matches_manual_and_orders(spark):
     for r in stats.values():
         assert 0.0 <= r["min_recall"] <= r["avg_recall"] <= 1.0
     assert stats["lsh_p3"]["avg_recall"] >= stats["lsh_p1"]["avg_recall"]
+
+
+def test_quality_and_langid_keep_zero_token_docs(spark):
+    """(r5 review) Zero-token / NULL-text docs must appear in
+    quality_score and lang_id output with the documented zero-default
+    semantics instead of silently vanishing through an inner join."""
+    from pyspark.sql import Row, types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.IntegerType()),
+    ])
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the lazy dog", "en", "a", 37),
+            (2, "!!! ???", "en", "a", 7),   # pure punctuation
+            (3, None, "en", "a", 0),        # extraction failed
+            (4, "", "en", "a", 0),          # empty
+        ],
+        schema,
+    )
+    q = {r["doc_id"]: r for r in textops.quality_score(df).collect()}
+    assert set(q) == {1, 2, 3, 4}
+    assert q[2]["n_tokens"] == 0 and q[2]["mean_tok_len"] == 0.0
+    assert q[2]["punct_ratio"] > 0.5  # the noise is visible
+    assert q[3]["quality"] == q[4]["quality"] == 0.2  # 0.2*(1-0)
+    assert q[1]["quality"] > q[2]["quality"]
+
+    lid = {r["doc_id"]: r for r in textops.lang_id(df).collect()}
+    assert set(lid) == {1, 2, 3, 4}
+    assert lid[3]["n_markers"] == 0 and lid[3]["pred_lang"] is not None
+
+    # NULL texts are EXCLUDED from exact dedup, not collapsed together
+    dd = textops.dedup_exact(df).collect()
+    assert sorted(r["canonical_id"] for r in dd) == [1, 2, 4]
+    assert all(r["n_copies"] == 1 for r in dd)
+
+
+def test_dot_long_dimension_mismatch_raises(spark, emb):
+    """(r5 review) A wrong-DIM embedding must fail loud in the cosine
+    paths (matching the IVF path), never score plausibly-wrong."""
+    from pyspark.sql import Row
+    from pyspark.sql.utils import PythonException
+
+    import pytest as _pytest
+
+    bad = emb.unionByName(
+        spark.createDataFrame(
+            [Row(vec_id=99, embedding=[1.0] * 32, label=1)]
+        )
+    )
+    with _pytest.raises(Exception, match="dimension mismatch"):
+        annops.cosine_topk(bad, n_queries=1, k=3).collect()
+
+
+def test_ivf_empty_centroids_raise_loud(spark):
+    """(r5 review) A corpus whose vec_ids don't start at 0 must raise
+    the seed-contract ValueError, not an opaque IndexError."""
+    from pyspark.sql import Row
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [Row(vec_id=1000 + i, embedding=[float(i + 1)] * 64, label=0)
+         for i in range(5)]
+    )
+    with _pytest.raises(ValueError, match="no centroids"):
+        annops.ivf_topk(df, n_queries=2, k=2).collect()
