@@ -24,7 +24,6 @@ __all__ = [
     "points_in_polys",
     "polys_intersect_boxes",
     "haversine_m",
-    "ring_bbox",
 ]
 
 
@@ -58,14 +57,6 @@ def pad_rings(xs_list, ys_list):
             RX[i, li:] = RX[i, li - 1]
             RY[i, li:] = RY[i, li - 1]
     return RX, RY, lens
-
-
-def ring_bbox(RX, RY, nvert):
-    """Per-ring (min_x, min_y, max_x, max_y), ignoring pad vertices.
-
-    Padding repeats a real vertex, so plain min/max over the row is exact.
-    """
-    return RX.min(axis=1), RY.min(axis=1), RX.max(axis=1), RY.max(axis=1)
 
 
 def _edges(RX, RY):
@@ -154,6 +145,15 @@ def polys_intersect_boxes(RX, RY, nvert, idx, bw, bs, be, bn):
     gRX = RX[idx]  # (m, maxlen)
     gRY = RY[idx]
 
+    # non-finite ring guard (r5 review): a NaN vertex (e.g. a null
+    # coordinate in an untrusted feed, converted by np.asarray) makes
+    # the Liang–Barsky rejects all-False — the ring would "intersect"
+    # EVERY candidate box, silently assigning the scene to its entire
+    # bbox cover. A corrupt ring intersects nothing instead: the
+    # feature contributes no coverage and the gap is auditable via the
+    # missing-quadkeys lane.
+    finite = np.isfinite(gRX).all(axis=1) & np.isfinite(gRY).all(axis=1)
+
     # (a) ring vertex in box (inclusive); pad vertices repeat real ones
     vin = ((gRX >= bw) & (gRX <= be) & (gRY >= bs) & (gRY <= bn)).any(axis=1)
 
@@ -176,7 +176,7 @@ def polys_intersect_boxes(RX, RY, nvert, idx, bw, bs, be, bn):
             x1, y1, x2, y2, bw[need], bs[need], be[need], bn[need]
         )
         ein[need] = hit.any(axis=1)
-    return vin | cin | ein
+    return (vin | cin | ein) & finite
 
 
 def haversine_m(lon1, lat1, lon2, lat2):

@@ -198,7 +198,7 @@ def main(argv=None):
     spark = make_session(cores=a.cores)
     t0 = time.time()
     if a.cmd == "build":
-        from . import checkpoint, mosaic
+        from . import checkpoint
 
         cfg = _cfg_from_args(a)
         scenes = spark.read.parquet(a.scenes)

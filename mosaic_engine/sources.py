@@ -97,33 +97,39 @@ def read_ndjson_features(spark: SparkSession, path: str) -> DataFrame:
     ring = F.col("geometry.coordinates")[0]
     xs = F.transform(ring, lambda p: p[0])
     ys = F.transform(ring, lambda p: p[1])
+    # one coalesced id / one parsed struct, referenced everywhere (r5
+    # review: the fallback chain was written out three times)
+    pid = F.coalesce(
+        F.col("properties.product_id"), F.col("properties.`landsat:product_id`")
+    )
+    parsed = parse_product_id_col(pid)
+    # fail-loud twin of udfs.ring_to_quadkeys' convention guard (r5
+    # review): a WESTWARD-unwrapped ring (x < -180) would otherwise be
+    # read as a non-crossing bbox and clamp away all coverage in
+    # [170E, 180] downstream
+    min_lon = F.when(
+        F.array_min(xs) < -180.0,
+        F.raise_error(
+            F.format_string(
+                "read_ndjson_features: ring x < -180 (min %s) — "
+                "antimeridian rings must unwrap EASTWARD (x past 180)",
+                F.array_min(xs),
+            )
+        ).cast("double"),
+    ).otherwise(F.array_min(xs))
     return feats.select(
-        F.coalesce(
-            F.col("properties.product_id"), F.col("properties.`landsat:product_id`")
-        ).alias("image_id"),
-        F.coalesce(
-            F.col("properties.wrs_path"),
-            parse_product_id_col(
-                F.coalesce(
-                    F.col("properties.product_id"),
-                    F.col("properties.`landsat:product_id`"),
-                )
-            )["path"],
-        ).alias("path"),
-        F.coalesce(
-            F.col("properties.wrs_row"),
-            parse_product_id_col(
-                F.coalesce(
-                    F.col("properties.product_id"),
-                    F.col("properties.`landsat:product_id`"),
-                )
-            )["row"],
-        ).alias("row"),
+        pid.alias("image_id"),
+        F.coalesce(F.col("properties.wrs_path"), parsed["path"]).alias(
+            "path"
+        ),
+        F.coalesce(F.col("properties.wrs_row"), parsed["row"]).alias(
+            "row"
+        ),
         F.col("properties.datetime").alias("acquisition_date"),
         F.coalesce(
             F.col("properties.`eo:cloud_cover`"), F.col("properties.cloud_cover")
         ).alias("cloud_cover"),
-        F.array_min(xs).alias("min_lon"),
+        min_lon.alias("min_lon"),
         F.array_min(ys).alias("min_lat"),
         # antimeridian: an eastward-unwrapped crossing ring (x past 180,
         # the repo-wide convention — see udfs.ring_to_quadkeys) rotates
@@ -216,6 +222,44 @@ def attach_wrs2_footprints(scenes: DataFrame, wrs2: DataFrame) -> DataFrame:
     out = out.drop(
         "w_fp_xs", "w_fp_ys", "w_min_lon", "w_min_lat", "w_max_lon", "w_max_lat"
     )
+    # derive a missing bbox from the scene's OWN ring (r5 review): a
+    # row carrying its own footprint but no bbox and no dim match
+    # previously survived the fp_xs filter with NULL min_lon and
+    # crashed the explode on NaN. The ring is eastward-unwrapped by
+    # convention, so a max past 180 rotates back into the wrapped
+    # crossing-bbox form (mirror of read_ndjson_features).
+    ring_has = F.col("fp_xs").isNotNull()
+    rx_max = F.array_max("fp_xs")
+    out = (
+        out.withColumn(
+            "min_lon",
+            F.coalesce(
+                F.col("min_lon"), F.when(ring_has, F.array_min("fp_xs"))
+            ),
+        )
+        .withColumn(
+            "max_lon",
+            F.coalesce(
+                F.col("max_lon"),
+                F.when(
+                    ring_has,
+                    F.when(rx_max > 180.0, rx_max - 360.0).otherwise(rx_max),
+                ),
+            ),
+        )
+        .withColumn(
+            "min_lat",
+            F.coalesce(
+                F.col("min_lat"), F.when(ring_has, F.array_min("fp_ys"))
+            ),
+        )
+        .withColumn(
+            "max_lat",
+            F.coalesce(
+                F.col("max_lat"), F.when(ring_has, F.array_max("fp_ys"))
+            ),
+        )
+    )
     have_bbox = (
         F.col("min_lon").isNotNull()
         & F.col("min_lat").isNotNull()
@@ -241,7 +285,9 @@ def attach_wrs2_footprints(scenes: DataFrame, wrs2: DataFrame) -> DataFrame:
     ).withColumn(
         "fp_ys", F.coalesce(F.col("fp_ys"), F.when(have_bbox, bbox_ys))
     )
-    return out.filter(F.col("fp_xs").isNotNull())
+    # require the FULL geometry set (ring + bbox): after the ring→bbox
+    # derivation above this only drops rows with no geometry at all
+    return out.filter(F.col("fp_xs").isNotNull() & have_bbox)
 
 
 def write_mosaic_json(doc_json: str, path: str) -> str:

@@ -14,6 +14,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import struct
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -60,16 +61,29 @@ def _explode_batch(
     max_lon = pdf["max_lon"].to_numpy(np.float64)
     max_lat = pdf["max_lat"].to_numpy(np.float64)
 
+    # a bbox whose WEST edge itself lies at/past 180 (ring wholly east
+    # of the antimeridian with a wrapped max) is NOT a crossing scene —
+    # rotate it into plain [-180, 180) form, else the split below would
+    # fabricate a degenerate western box that cover_ranges clamps into
+    # the last tile column and an over-wide eastern box (r5 review;
+    # exact=True happened to filter the spurious tiles, exact=False
+    # emitted them)
+    east_whole = min_lon >= 180.0
+    min_lon = np.where(east_whole, min_lon - 360.0, min_lon)
+
     # antimeridian-crossing scenes (min_lon > max_lon, unwrapped ring —
     # datagen.py convention) contribute two boxes; eastern-half tile
-    # boxes are tested shifted +360 so the unwrapped ring needs no copy.
+    # boxes are tested shifted +360 so the unwrapped ring needs no copy
+    # (wholly-east rotated scenes likewise test shifted +360).
     cross = min_lon > max_lon
     sidx = np.concatenate([np.arange(n), np.nonzero(cross)[0]])
     bw = np.concatenate([min_lon, np.full(cross.sum(), -180.0)])
     be = np.concatenate([np.where(cross, 180.0, max_lon), max_lon[cross]])
     bs = np.concatenate([min_lat, min_lat[cross]])
     bn = np.concatenate([max_lat, max_lat[cross]])
-    shift = np.concatenate([np.zeros(n), np.full(cross.sum(), 360.0)])
+    shift = np.concatenate(
+        [np.where(east_whole, 360.0, 0.0), np.full(cross.sum(), 360.0)]
+    )
 
     x0, x1, y0, y1 = tm.cover_ranges(bw, bs, be, bn, zoom)
     nx = np.maximum(x1 - x0 + 1, 0)
@@ -383,6 +397,26 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
+# the ONE catch set for per-row multimodal decode/feature failures
+# (r5 review): an untrusted payload must surface as a null/decode_ok
+# sentinel, never kill the Spark stage. Beyond the codec stubs'
+# NotImplementedError and the validators' ValueError, real corrupt
+# bytes raise struct.error (truncated chunk headers), zlib.error
+# (corrupt IDAT), TypeError (NULL payload from an outer join),
+# IndexError (degenerate 0×0 dims reaching the resize kernel), and
+# EOFError/wave-adjacent errors on truncated containers.
+DECODE_ERRORS = (
+    NotImplementedError,
+    ValueError,
+    TypeError,
+    AttributeError,  # None.startswith on a NULL payload
+    IndexError,
+    EOFError,
+    struct.error,
+    zlib.error,
+)
+
+
 def image_features(df: DataFrame, thumb: int = 16) -> DataFrame:
     """Multimodal lane: decode → block-mean resize → feature vector +
     thumbnail phash, one Arrow stage. Unknown codecs surface as nulls
@@ -395,6 +429,9 @@ def image_features(df: DataFrame, thumb: int = 16) -> DataFrame:
             feats: list = [None] * n
             ph = np.zeros(n, np.int64)
             for i in range(n):
+                # the WHOLE per-row computation sits inside the try:
+                # the feature/resize kernels can also raise on
+                # degenerate-but-decodable inputs (0×0 images)
                 try:
                     px = im.decode_image(
                         pdf["bytes"].iloc[i],
@@ -402,11 +439,13 @@ def image_features(df: DataFrame, thumb: int = 16) -> DataFrame:
                         int(pdf["h"].iloc[i]),
                         pdf["fmt"].iloc[i],
                     )
-                except (NotImplementedError, ValueError):
+                    small = im.resize_block_mean(px, thumb, thumb)
+                    fv = im.image_features(px)
+                    phv = im.phash64(small)
+                except DECODE_ERRORS:
                     continue
-                small = im.resize_block_mean(px, thumb, thumb)
-                feats[i] = im.image_features(px)
-                ph[i] = im.phash64(small)
+                feats[i] = fv
+                ph[i] = phv
             yield pd.DataFrame(
                 {
                     "image_id": pdf["image_id"],
@@ -459,7 +498,7 @@ def video_frame_features(df: DataFrame, every_n: int = 2) -> DataFrame:
             ):
                 try:
                     frames = im.sample_video_frames(data, fmt, every_n)
-                except (NotImplementedError, ValueError, struct.error):
+                except DECODE_ERRORS:
                     ids.append(vid)
                     idxs.append(-1)
                     hs.append(0)
@@ -526,10 +565,10 @@ def audio_track_features(df: DataFrame) -> DataFrame:
             for i, (data, fmt) in enumerate(zip(pdf["bytes"], pdf["fmt"])):
                 try:
                     s, rate = im.decode_audio(data, fmt)
-                except (NotImplementedError, ValueError, struct.error):
-                    # struct.error: defense in depth — decode_audio
-                    # validates chunk sizes, but an untrusted payload
-                    # must never kill the whole Spark stage
+                except DECODE_ERRORS:
+                    # defense in depth — decode_audio validates chunk
+                    # sizes, but an untrusted payload must never kill
+                    # the whole Spark stage (see DECODE_ERRORS)
                     continue
                 feat = im.audio_features(s, rate)
                 rates[i] = rate

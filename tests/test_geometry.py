@@ -146,3 +146,26 @@ def test_haversine_matches_oracle():
     # known value: London → Paris ≈ 343.5 km
     d = geo.haversine_m(-0.1278, 51.5074, 2.3522, 48.8566)
     assert 340_000 < d[()] < 345_000
+
+
+def test_nan_ring_intersects_nothing():
+    """(r5 review) A ring with a non-finite vertex must not report
+    intersection with every candidate box (the Liang-Barsky rejects go
+    all-False under NaN) — corrupt geometry contributes no coverage."""
+    import numpy as np
+
+    from mosaic_engine import geometry as geo
+
+    RX, RY, nv = geo.pad_rings(
+        [[0.0, 4.0, np.nan, 0.0], [0.0, 4.0, 2.0, 0.0]],
+        [[0.0, 0.0, 4.0, 0.0], [0.0, 0.0, 4.0, 0.0]],
+    )
+    idx = np.array([0, 0, 1])
+    # boxes: one the real triangle would hit, one far away, and the
+    # same hit-box against the FINITE twin ring
+    bw = np.array([1.0, 100.0, 1.0])
+    bs = np.array([0.5, 100.0, 0.5])
+    be = np.array([2.0, 101.0, 2.0])
+    bn = np.array([1.5, 101.0, 1.5])
+    out = geo.polys_intersect_boxes(RX, RY, nv, idx, bw, bs, be, bn)
+    assert out.tolist() == [False, False, True]

@@ -322,3 +322,58 @@ def test_scalar_oracles_match_engine_kernels():
             assert got == (0, 0, 0.0, 0.0, False)
             saw_fail = True
     assert saw_ok and saw_fail
+
+
+def test_multimodal_lanes_survive_corrupt_and_null_payloads(spark):
+    """(r5 review) Untrusted payloads — truncated PNG chunk headers,
+    corrupt IDAT, NULL bytes, degenerate 0x0 dims — must surface as
+    null-feature / decode_ok=false rows, never kill the stage."""
+    import numpy as np
+    from pyspark.sql import Row, types as T
+
+    from mosaic_engine import imageops as im, udfs
+
+    rgb = (np.arange(48, dtype=np.uint8).reshape(4, 4, 3) * 5) % 255
+    good_png = im.encode_image(rgb, "png")
+    bad_idat = bytearray(good_png)
+    bad_idat[41] ^= 0xFF  # corrupt inside IDAT
+    img_schema = T.StructType([
+        T.StructField("image_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+    ])
+    imgs = spark.createDataFrame(
+        [
+            ("ok", bytearray(good_png), 4, 4, "png"),
+            ("trunc", bytearray(good_png[:35]), 4, 4, "png"),
+            ("idat", bad_idat, 4, 4, "png"),
+            ("null", None, 4, 4, "png"),
+            ("zero", bytearray(b""), 0, 0, "raw"),
+        ],
+        img_schema,
+    )
+    rows = {r["image_id"]: r for r in udfs.image_features(imgs).collect()}
+    assert set(rows) == {"ok", "trunc", "idat", "null", "zero"}
+    assert rows["ok"]["features"] is not None
+    for bad in ("trunc", "idat", "null", "zero"):
+        assert rows[bad]["features"] is None, bad
+
+    av_schema = T.StructType([
+        T.StructField("video_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("fmt", T.StringType()),
+    ])
+    vids = spark.createDataFrame([("v_null", None, "rawv")], av_schema)
+    vrows = udfs.video_frame_features(vids).collect()
+    assert len(vrows) == 1 and vrows[0]["decode_ok"] is False
+
+    au_schema = T.StructType([
+        T.StructField("audio_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("fmt", T.StringType()),
+    ])
+    auds = spark.createDataFrame([("a_null", None, "wav")], au_schema)
+    arows = udfs.audio_track_features(auds).collect()
+    assert len(arows) == 1 and arows[0]["decode_ok"] is False

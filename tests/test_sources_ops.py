@@ -674,3 +674,89 @@ def test_attach_wrs2_crossing_bbox_ring_is_unwrapped(spark):
     # coverage lands on BOTH sides of the antimeridian: tile x = 63
     # (west of 180) and x = 0 (east of 180, wrapped) at zoom 6
     assert (1 << 6) - 1 in xs and 0 in xs
+
+
+def test_ndjson_westward_unwrapped_ring_fails_loud(spark, tmp_path):
+    """(r5 review) A westward-unwrapped ring (x < -180) violates the
+    repo-wide eastward convention; reading it as a plain bbox would
+    silently clamp away all coverage in [170E, 180] — it must raise,
+    matching udfs.ring_to_quadkeys' guard."""
+    feats = [{
+        "geometry": {"type": "Polygon", "coordinates": [[
+            [-190.0, -2.0], [-170.0, -2.0], [-170.0, 2.0], [-190.0, 2.0],
+            [-190.0, -2.0]]]},
+        "properties": {
+            "product_id": "LC08_L1TP_099011_20200101_20200113_01_T1",
+            "eo:cloud_cover": 1.0, "datetime": "2020-01-01T00:00:00Z",
+            "wrs_path": 99, "wrs_row": 11},
+    }]
+    p = tmp_path / "west.ndjson"
+    p.write_text("\n".join(json.dumps(f) for f in feats))
+    with pytest.raises(Exception, match="unwrap EASTWARD"):
+        sources.read_ndjson_features(spark, str(p)).collect()
+
+
+def test_explode_wholly_east_of_antimeridian_scene(spark):
+    """(r5 review) A scene whose ring lies ENTIRELY east of 180 (bbox
+    in the degenerate min_lon >= 180 'crossing' form) must emit exactly
+    the tiles of its rotated [-180,180) box — no last-column phantom
+    tiles from the clamped western split, in BOTH exact modes."""
+    from pyspark.sql import Row
+
+    from mosaic_engine import cells as cl
+    from mosaic_engine import tilemath as tm
+    from mosaic_engine import udfs
+
+    scene = Row(
+        image_id="EAST", min_lon=185.0, max_lon=-170.0,
+        min_lat=10.0, max_lat=14.0,
+        fp_xs=[185.0, 190.0, 190.0, 185.0, 185.0],
+        fp_ys=[10.0, 10.0, 14.0, 14.0, 10.0],
+    )
+    df = spark.createDataFrame([scene])
+    for exact in (True, False):
+        tiles = udfs.explode_to_quadkeys(
+            df, 5, passthrough=["image_id"], exact=exact
+        )
+        got = np.array([t["cell"] for t in tiles.collect()], np.int64)
+        assert len(got) > 0, exact
+        xs, ys, _ = cl.unpack_cell(got)
+        w, s, e, n = tm.tile_bounds(xs, ys, 5)
+        # every tile overlaps the true rotated box [-175, -170]
+        assert (e > -175.0 - 1e-9).all() and (w < -170.0 + 1e-9).all(), (
+            exact, sorted(set(w.tolist())),
+        )
+
+
+def test_attach_wrs2_derives_bbox_from_own_ring(spark):
+    """(r5 review) A scene with its OWN ring but no bbox and no dim
+    match previously passed the filter with NULL min_lon and crashed
+    the explode — the bbox now derives from the ring (honoring the
+    eastward-unwrap convention)."""
+    from pyspark.sql import Row
+
+    wrs2 = sources.wrs2_dim(spark, paths=3, rows=3)
+    schema = (
+        "image_id string, path int, row int, cloud_cover double, "
+        "min_lon double, min_lat double, max_lon double, max_lat double, "
+        "fp_xs array<double>, fp_ys array<double>"
+    )
+    scenes = spark.createDataFrame([
+        ("RING_ONLY", 99, 99, 1.0, None, None, None, None,
+         [10.0, 12.0, 12.0, 10.0, 10.0], [20.0, 20.0, 22.0, 22.0, 20.0]),
+        ("RING_CROSS", 98, 98, 1.0, None, None, None, None,
+         [179.0, 181.0, 181.0, 179.0, 179.0], [-1.0, -1.0, 1.0, 1.0, -1.0]),
+    ], schema)
+    out = {r["image_id"]: r
+           for r in sources.attach_wrs2_footprints(scenes, wrs2).collect()}
+    assert set(out) == {"RING_ONLY", "RING_CROSS"}
+    r = out["RING_ONLY"]
+    assert (r["min_lon"], r["min_lat"], r["max_lon"], r["max_lat"]) == (
+        10.0, 20.0, 12.0, 22.0)
+    rc = out["RING_CROSS"]
+    assert rc["min_lon"] == 179.0 and rc["max_lon"] == pytest.approx(-179.0)
+    # both flow through the exact explode without error
+    n = udfs.explode_to_quadkeys(
+        sources.attach_wrs2_footprints(scenes, wrs2), 5,
+        passthrough=["image_id"]).count()
+    assert n > 0
