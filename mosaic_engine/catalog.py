@@ -92,7 +92,14 @@ def write_table(
         w = w.partitionBy(*partition_by)
     if fmt == "parquet":
         w.parquet(location)
-        write_snapshot_manifest(df.sparkSession, location)
+        # mode="ignore" on an existing table writes NOTHING — minting a
+        # fresh snapshot_id over unchanged files would spuriously
+        # invalidate every downstream checkpoint (r5 review); keep the
+        # old manifest, committing one only if none exists yet
+        if mode != "ignore" or read_snapshot_manifest(
+            df.sparkSession, location
+        ) is None:
+            write_snapshot_manifest(df.sparkSession, location)
     elif fmt == "iceberg":
         if not _has_iceberg(df.sparkSession):
             raise RuntimeError("iceberg runtime jar not on the classpath")
@@ -120,12 +127,24 @@ def list_data_files(
     Hadoop FS. Driver-side metadata listing only — the same listing a
     parquet scan planning pass performs."""
     fs, jpath = _fs_and_path(spark, location)
+    root = fs.makeQualified(jpath).toString().rstrip("/")
     out = []
     it = fs.listFiles(jpath, True)
     while it.hasNext():
         st = it.next()
-        name = st.getPath().getName()
-        if name.startswith("_") or name.startswith("."):
+        full = st.getPath().toString()
+        # hidden filter applies to EVERY path component below the table
+        # root (r5 review): a crashed concurrent write leaves
+        # _temporary/.../part-*.parquet whose basename is not hidden,
+        # but no parquet reader would ever scan it — the manifest must
+        # not list it as table data. Components above the root (e.g. a
+        # dot-dir the table happens to live under) are exempt.
+        rel = (
+            full[len(root):].lstrip("/")
+            if full.startswith(root)
+            else st.getPath().getName()
+        )
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
             continue
         out.append(
             (

@@ -52,6 +52,17 @@ def input_snapshot_hash(df: DataFrame) -> str:
     from . import catalog
 
     spark = df.sparkSession
+    files = sorted(df.inputFiles())
+    if not files:
+        # no file lineage exists (LocalRelation / JDBC / in-memory
+        # DataFrame): a constant hash here would let resume serve STALE
+        # checkpoints for entirely different data (r5 review). Mint a
+        # never-matching token instead — resume safely degrades to a
+        # full recompute; the checkpoint optimization requires
+        # file-backed input.
+        import uuid
+
+        return f"nofiles-{uuid.uuid4().hex[:16]}"
     snap_cache: dict[str, str | None] = {}
 
     def _snapshot_id(dir_uri: str) -> str | None:
@@ -79,7 +90,7 @@ def input_snapshot_hash(df: DataFrame) -> str:
         return sid
 
     parts = []
-    for uri in sorted(df.inputFiles()):
+    for uri in files:
         sid = _snapshot_id(posixpath.dirname(uri))
         stat_part = ""
         parsed = urlparse(uri)
@@ -108,8 +119,11 @@ def input_snapshot_hash(df: DataFrame) -> str:
 def _prefix_qk_col(lon, lat) -> Column:
     """Quadkey prefix (PREFIX_LEN digits) of the tile containing a
     point, as a native Column — whole-stage codegen, used by the
-    resume scene-pruner. Same mercator math as the explode kernel
-    (ops._tile_xy_cols), so containment decisions agree."""
+    resume scene-pruner. NOTE: this is JVM trig (ops._tile_xy_cols)
+    while the explode kernel is numpy (tilemath) — they can disagree
+    by ~1 ULP at exact tile boundaries, which is why the pruner tests
+    ε-nudged corners rather than relying on bit-agreement (r5
+    review)."""
     from .ops import _tile_xy_cols
 
     x, y = _tile_xy_cols(lon, lat, PREFIX_LEN)
@@ -147,6 +161,18 @@ def build_with_checkpoint(
     resume: bool = False,
 ) -> tuple[dict, dict]:
     """E1 with per-prefix checkpointing. Returns (mosaic doc, metrics)."""
+    if "://" in out_dir:
+        # the per-prefix manifest/eviction bookkeeping below is
+        # POSIX-bound (os.listdir / shutil.rmtree / open); a remote
+        # out_dir would silently split data (written remotely by Spark)
+        # from manifests (written to a literal local path) AND disable
+        # the stale-partition eviction — fail loud instead (r5 review).
+        # Remote deployments: mount the store, or lift this module onto
+        # a StorageClient seam like streaming.py's.
+        raise ValueError(
+            f"build_with_checkpoint: out_dir must be a local path "
+            f"(got {out_dir!r}) — manifest bookkeeping is POSIX-bound"
+        )
     os.makedirs(out_dir, exist_ok=True)
     os.makedirs(_manifest_dir(out_dir), exist_ok=True)
     cfg_hash = cfg.config_hash()
@@ -193,14 +219,30 @@ def build_with_checkpoint(
     n_scenes_pruned = 0
     if done:
         done_sorted = sorted(done)
-        p_sw = _prefix_qk_col(F.col("min_lon"), F.col("min_lat"))
-        p_ne = _prefix_qk_col(F.col("max_lon"), F.col("max_lat"))
+        # conservative ε-margin (r5 review): the pruner's prefix math
+        # is Spark-native trig while the explode kernel is numpy — the
+        # two can disagree by ~1 ULP at exact tile boundaries. Nudging
+        # the corners OUTWARD by 1e-9° makes the containment test
+        # strictly harder, so any scene whose true tiles could straddle
+        # a prefix boundary under either formula is NOT pruned (its
+        # done-prefix rows are removed by the exact qk_prefix filter
+        # below instead). 1e-9° ≈ 0.1 mm — six orders above ULP noise,
+        # six below any real footprint.
+        EPS = 1e-9
+        p_sw = _prefix_qk_col(
+            F.col("min_lon") - EPS, F.col("min_lat") - EPS
+        )
+        p_ne = _prefix_qk_col(
+            F.col("max_lon") + EPS, F.col("max_lat") + EPS
+        )
         skippable = (
             (F.col("min_lon") <= F.col("max_lon"))
             & (p_sw == p_ne)
             & p_sw.isin(done_sorted)
         )
         keep = ~F.coalesce(skippable, F.lit(False))
+        # metrics-only count: Catalyst prunes the scan to the four bbox
+        # columns, so this does NOT re-read payloads
         n_scenes_pruned = scenes.filter(~keep).count()
         scenes_build = scenes.filter(keep)
 

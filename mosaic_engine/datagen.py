@@ -271,6 +271,14 @@ def gen_scenes_bulk(
     ring_y = np.stack(
         [lat0, lat0, lat0 + height, lat0 + height, lat0], axis=1
     )
+    if 5 * (n + 1) > 2**31 - 1:
+        # ListArray offsets are int32: past ~429M scenes the multiply
+        # would wrap and surface as a confusing non-monotonic-offsets
+        # ArrowInvalid (r5 review) — fail with the real cause
+        raise ValueError(
+            f"gen_scenes_bulk: n_scenes={n} exceeds the int32 "
+            "list-offset limit (~429M rows); generate in chunks"
+        )
     offsets = pa.array(np.arange(n + 1, dtype=np.int32) * 5)
     fp_xs = pa.ListArray.from_arrays(offsets, pa.array(ring_x.ravel()))
     fp_ys = pa.ListArray.from_arrays(offsets, pa.array(ring_y.ravel()))

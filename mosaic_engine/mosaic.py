@@ -142,6 +142,14 @@ def validate_mosaic(doc: dict) -> list[str]:
     if len(doc["center"]) != 3:
         errs.append(f"center must have 3 values, got {len(doc['center'])}")
         return errs
+    # center gets the same numeric/range scrutiny as bounds (r5
+    # review: a ["a", None, -5] center previously validated clean)
+    if not all(isinstance(v, (int, float)) for v in doc["center"]):
+        errs.append(f"non-numeric center {doc['center']}")
+        return errs
+    clon, clat, _cz = doc["center"]
+    if not (-180 <= clon <= 180 and -90 <= clat <= 90):
+        errs.append(f"invalid center {doc['center']}")
     w, s, e, n = doc["bounds"]
     if not all(isinstance(v, (int, float)) for v in doc["bounds"]):
         errs.append(f"non-numeric bounds {doc['bounds']}")

@@ -247,6 +247,20 @@ def missing_quadkeys(
 ) -> DataFrame:
     """E3: quadkeys under land polygons absent from the mosaic — a
     left_anti join on quadkey ([ref: missing.py#missing_quadkeys])."""
+    # the packed cell key EMBEDS its level, so an assignments table
+    # built at a different quadkey_zoom can never match any land cell
+    # and the anti join would report 100% of land as missing with no
+    # error (r5 review) — verify level agreement on one bounded row
+    probe = assign.select("cell").first()
+    if probe is not None:
+        assign_level = int(probe["cell"]) & 0x3F
+        if assign_level != zoom:
+            raise ValueError(
+                f"missing_quadkeys: assignments were built at "
+                f"quadkey_zoom={assign_level} but zoom={zoom} was "
+                "requested — the anti join would mark every land tile "
+                "missing"
+            )
     land_qk = udfs.ring_to_quadkeys(land, zoom, "land_id").select(
         "cell"
     ).distinct()

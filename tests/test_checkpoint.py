@@ -195,3 +195,23 @@ def test_snapshot_manifest_invalidates_same_name_rewrite(
         spark, df3, cfg, out2, resume=True
     )
     assert b["n_prefixes_skipped"] == a["n_prefixes"]
+
+
+def test_lineage_and_guard_edges(spark, scenes_df, tmp_path):
+    """(r5 review) Non-file inputs yield a never-matching lineage token
+    (resume degrades to recompute, never serves stale data); a remote
+    out_dir fails loud instead of splitting data from manifests."""
+    from pyspark.sql import Row
+
+    mem = spark.createDataFrame([Row(a=1)])
+    h1 = checkpoint.input_snapshot_hash(mem)
+    h2 = checkpoint.input_snapshot_hash(mem)
+    assert h1.startswith("nofiles-") and h1 != h2
+
+    import pytest
+
+    with pytest.raises(ValueError, match="POSIX-bound"):
+        checkpoint.build_with_checkpoint(
+            spark, scenes_df, MosaicConfig(quadkey_zoom=7),
+            "s3a://bucket/ckpt",
+        )

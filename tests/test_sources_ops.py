@@ -760,3 +760,13 @@ def test_attach_wrs2_derives_bbox_from_own_ring(spark):
         sources.attach_wrs2_footprints(scenes, wrs2), 5,
         passthrough=["image_id"]).count()
     assert n > 0
+
+
+def test_missing_quadkeys_zoom_mismatch_fails_loud(spark, scenes_df, fixture_dir):
+    """(r5 review) assignments at zoom 8 queried for gaps at zoom 7
+    must raise (the packed cell embeds its level; the anti join would
+    otherwise report every land tile missing)."""
+    land = spark.read.parquet(os.path.join(fixture_dir, "land.parquet"))
+    assign = mz.quadkey_assignments(scenes_df, MosaicConfig(quadkey_zoom=8))
+    with pytest.raises(ValueError, match="quadkey_zoom"):
+        ops.missing_quadkeys(land, assign, 7).collect()
