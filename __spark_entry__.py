@@ -11,6 +11,7 @@ exposed as rows-only entries (their byte-level oracle lives in
 tests/golden + tests/oracle.py).
 """
 
+import hashlib
 import os
 import sys
 from collections.abc import Callable
@@ -127,6 +128,43 @@ CUSTOMER_POINTS_SQL = (
 )
 
 
+def _supplier_points(spark, sf_dir, x: str = "qx", y: str = "qy"):
+    """Probe-point lattice derived from supplier — the ONE definition
+    shared by the brute and banded kNN lanes (r5 review: the expression
+    appeared four times and a single-site edit would desync engine from
+    oracle)."""
+    s = _t(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        ((F.pmod(F.col("s_suppkey") * 4409, F.lit(34000))) / 100.0 - 170.0 + 0.007).alias(x),
+        ((F.pmod(F.col("s_suppkey") * 6397, F.lit(16000))) / 100.0 - 80.0 + 0.007).alias(y),
+    )
+
+
+def _supplier_points_sql(x: str = "qx", y: str = "qy") -> str:
+    return (
+        "SELECT s_suppkey, "
+        f"((s_suppkey * 4409) % 34000) / CAST(100.0 AS DOUBLE) - 170.0 + 0.007 AS {x}, "
+        f"((s_suppkey * 6397) % 16000) / CAST(100.0 AS DOUBLE) - 80.0 + 0.007 AS {y} "
+        "FROM supplier"
+    )
+
+
+def _hav_sql(qx: str, qy: str, px: str, py: str) -> str:
+    """radians() FIRST, subtract AFTER — the exact op order of
+    ops.haversine_expr / geometry.haversine_m. radians(a - b) differs
+    in the last ULP for ~43% of pairs, which could flip a near-tie
+    rank or a round(_, 3) boundary (r4 review; factored r5)."""
+    return (
+        f"2.0 * {EARTH_RADIUS_M} * asin(sqrt(least("
+        f"sin((radians({py}) - radians({qy})) / 2.0) * "
+        f"sin((radians({py}) - radians({qy})) / 2.0) + "
+        f"cos(radians({qy})) * cos(radians({py})) * "
+        f"sin((radians({px}) - radians({qx})) / 2.0) * "
+        f"sin((radians({px}) - radians({qx})) / 2.0), 1.0)))"
+    )
+
+
 def _tile_sql(lon: str, lat: str, z: int, out_x: str, out_y: str) -> str:
     """SQL twin of tilemath.lonlat_to_tile (mercantile semantics)."""
     z2 = 1 << z
@@ -151,7 +189,7 @@ def _quadkey_sql(x: str, y: str, z: int) -> str:
 _SCALAR_UDFS: dict = {}
 
 
-def _tile_udf_cols(spark):
+def _tile_udf_cols():
     """Process-cached scalar-UDF dict (rebuilding five pandas_udf
     wrappers per query call is wasted work — r4 review)."""
     if not _SCALAR_UDFS:
@@ -161,22 +199,35 @@ def _tile_udf_cols(spark):
     return _SCALAR_UDFS
 
 
+_TILE_XY_UDFS: dict = {}
+
+
+def _tile_xy_udf(z: int):
+    """Per-zoom cached tile-assign pandas_udf (r5 review: the r4 cache
+    covered only the scalar-UDF dict; this wrapper was still rebuilt on
+    every _tile_assign_df call)."""
+    if z not in _TILE_XY_UDFS:
+        import pandas as pd
+        from pyspark.sql import types as T
+        from pyspark.sql.functions import pandas_udf
+
+        from mosaic_engine import tilemath as tm
+
+        @pandas_udf(T.StructType([
+            T.StructField("tx", T.LongType()),
+            T.StructField("ty", T.LongType()),
+        ]))
+        def tile_xy(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+            xs, ys = tm.lonlat_to_tile(lon.to_numpy(), lat.to_numpy(), z)
+            return pd.DataFrame({"tx": xs, "ty": ys})
+
+        _TILE_XY_UDFS[z] = tile_xy
+    return _TILE_XY_UDFS[z]
+
+
 def _tile_assign_df(spark, sf_dir, z=Z_TILE, source="events"):
-    import pandas as pd
-    from pyspark.sql import types as T
-    from pyspark.sql.functions import pandas_udf
-
-    from mosaic_engine import tilemath as tm
-
-    @pandas_udf(T.StructType([
-        T.StructField("tx", T.LongType()),
-        T.StructField("ty", T.LongType()),
-    ]))
-    def tile_xy(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
-        xs, ys = tm.lonlat_to_tile(lon.to_numpy(), lat.to_numpy(), z)
-        return pd.DataFrame({"tx": xs, "ty": ys})
-
-    u = _tile_udf_cols(spark)
+    tile_xy = _tile_xy_udf(z)
+    u = _tile_udf_cols()
     if source != "events":
         raise ValueError(f"unknown point source {source!r}")
     pts = _event_points(spark, sf_dir)
@@ -364,6 +415,14 @@ def q_geo_pip(spark, sf_dir):
 
 
 def sql_geo_pip():
+    # PINNED INVARIANT (r5 review): this twin is pure crossing-number,
+    # while the engine kernel (geometry.points_in_polys) ALSO counts a
+    # point ON a ring edge/vertex as inside (shapely-intersects, eps
+    # 1e-12). The twins agree only because the +0.003 customer-point
+    # offsets keep every point ≥ 2.5e-4° off all slanted edges and off
+    # the horizontal edges entirely — if you edit the point offsets or
+    # the ring shape below, re-verify that no point lands on an edge
+    # (or add the boundary term here).
     # ring: (x0,y0) (x0+8,y0) (x0+9.5,y0+6) (x0+1.5,y0+6) (x0,y0)
     edges = [
         ("x0", "y0", "x0 + 8.0", "y0"),
@@ -395,11 +454,7 @@ def q_geo_knn_brute(spark, sf_dir):
     by ops.knn_bruteforce/knn_join in the pytest suite."""
     from mosaic_engine import ops as _ops
 
-    s = _t(spark, sf_dir, "supplier").select(
-        "s_suppkey",
-        ((F.pmod(F.col("s_suppkey") * 4409, F.lit(34000))) / 100.0 - 170.0 + 0.007).alias("qx"),
-        ((F.pmod(F.col("s_suppkey") * 6397, F.lit(16000))) / 100.0 - 80.0 + 0.007).alias("qy"),
-    )
+    s = _supplier_points(spark, sf_dir)
     # the fact table side of the cross join must be spread across cores
     # (driver parquet is a single small file → 1 input partition)
     c = _customer_points(spark, sf_dir).repartition(
@@ -420,22 +475,9 @@ def q_geo_knn_brute(spark, sf_dir):
 
 
 def sql_geo_knn_brute():
-    # radians() FIRST, subtract AFTER — the exact op order of
-    # ops.haversine_expr / geometry.haversine_m. radians(py - qy)
-    # differs in the last ULP for ~43% of pairs, which could flip a
-    # near-tie rank or a round(_, 3) boundary (r4 review).
-    hav = (
-        f"2.0 * {EARTH_RADIUS_M} * asin(sqrt(least("
-        "sin((radians(py) - radians(qy)) / 2.0) * "
-        "sin((radians(py) - radians(qy)) / 2.0) + "
-        "cos(radians(qy)) * cos(radians(py)) * "
-        "sin((radians(px) - radians(qx)) / 2.0) * "
-        "sin((radians(px) - radians(qx)) / 2.0), 1.0)))"
-    )
+    hav = _hav_sql("qx", "qy", "px", "py")
     return (
-        "WITH s AS (SELECT s_suppkey, "
-        "((s_suppkey * 4409) % 34000) / CAST(100.0 AS DOUBLE) - 170.0 + 0.007 AS qx, "
-        "((s_suppkey * 6397) % 16000) / CAST(100.0 AS DOUBLE) - 80.0 + 0.007 AS qy FROM supplier), "
+        f"WITH s AS ({_supplier_points_sql()}), "
         f"c AS ({CUSTOMER_POINTS_SQL}), "
         f"d AS (SELECT s_suppkey, c_custkey, {hav} AS dist_m FROM s CROSS JOIN c), "
         "r AS (SELECT s_suppkey, c_custkey, dist_m, "
@@ -483,7 +525,12 @@ def sql_minhash_signatures():
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    return textops.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+    # on_overflow="raise" (r5 review): the SQL oracle is exhaustive, so
+    # a fixture scale that would trip the star guard must fail loud,
+    # not hash-mismatch (fixture guards lock sf0.01/sf0.1 today)
+    return textops.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), on_overflow="raise"
+    )
 
 
 def _sql_minhash_banded():
@@ -584,8 +631,11 @@ def sql_ngram_jaccard():
 
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs: banded candidates (pigeonhole-complete
-    for hamming ≤ 3), exact bit_count(xor) verification."""
-    return textops.simhash_pairs(_t(spark, sf_dir, "documents"))
+    for hamming ≤ 3), exact bit_count(xor) verification.
+    on_overflow="raise": see q_minhash_lsh_pairs."""
+    return textops.simhash_pairs(
+        _t(spark, sf_dir, "documents"), on_overflow="raise"
+    )
 
 
 def sql_simhash64():
@@ -985,6 +1035,7 @@ def q_dedup_incremental(spark, sf_dir):
     the documents table arrives as two file drops; pairs are emitted
     only for new-vs-all per micro-batch. The accumulated pairs equal
     one-shot exhaustive LSH pairs, so the batch SQL oracle twins it."""
+    import shutil
     import tempfile
 
     import pyarrow.compute as pc
@@ -994,7 +1045,14 @@ def q_dedup_incremental(spark, sf_dir):
 
     t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
     even = pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)
-    root = tempfile.mkdtemp(prefix="dedup_incr_")
+    # STABLE per-sf_dir root, wiped on entry (r5 review): a fresh
+    # mkdtemp per invocation leaked a full documents copy + streaming
+    # state every time the driver re-ran the query (plan capture, row
+    # compare, hash) — and wiping also guarantees the availableNow
+    # checkpoint starts clean each run
+    key = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"dedup_incr_{key}")
+    shutil.rmtree(root, ignore_errors=True)
     sdir = os.path.join(root, "stream")
     work = os.path.join(root, "work")
     os.makedirs(sdir)
@@ -1068,7 +1126,11 @@ def sql_ann_recall_stats():
 
 
 def q_embed_neardup(spark, sf_dir):
-    return annops.neardup_pairs(_t(spark, sf_dir, "embeddings"), min_score=0.2)
+    # on_overflow="raise": see q_minhash_lsh_pairs — the 16-bucket
+    # embedding bands are the first lane to overflow at a larger scale
+    return annops.neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), min_score=0.2, on_overflow="raise"
+    )
 
 
 def sql_embed_neardup():
@@ -1661,10 +1723,8 @@ def q_knn_banded(spark, sf_dir):
     from mosaic_engine import ops
 
     scenes = _part_scenes(spark, sf_dir)
-    probes = _t(spark, sf_dir, "supplier").select(
-        F.col("s_suppkey").alias("query_id"),
-        ((F.pmod(F.col("s_suppkey") * 4409, F.lit(34000))) / 100.0 - 170.0 + 0.007).alias("lon"),
-        ((F.pmod(F.col("s_suppkey") * 6397, F.lit(16000))) / 100.0 - 80.0 + 0.007).alias("lat"),
+    probes = _supplier_points(spark, sf_dir, x="lon", y="lat").select(
+        F.col("s_suppkey").alias("query_id"), "lon", "lat"
     )
     res = ops.knn_join(scenes, probes, k=3, level=Z_MOSAIC)
     return res.select(
@@ -1673,20 +1733,12 @@ def q_knn_banded(spark, sf_dir):
 
 
 def sql_knn_banded():
-    # radians-first haversine: the exact op sequence of
-    # geometry.haversine_m (the engine's scoring kernel)
-    hav = (
-        f"2.0 * {EARTH_RADIUS_M} * asin(sqrt(least("
-        "sin((radians(cy) - radians(lat)) / 2.0) * sin((radians(cy) - radians(lat)) / 2.0) + "
-        "cos(radians(lat)) * cos(radians(cy)) * "
-        "sin((radians(cx) - radians(lon)) / 2.0) * sin((radians(cx) - radians(lon)) / 2.0), 1.0)))"
-    )
+    hav = _hav_sql("lon", "lat", "cx", "cy")
     return (
         f"WITH b AS ({PART_SCENES_SQL}), "
         "c AS (SELECT image_id, (w + e) / 2 AS cx, (s + n) / 2 AS cy FROM b), "
-        "q AS (SELECT s_suppkey AS query_id, "
-        "((s_suppkey * 4409) % 34000) / CAST(100.0 AS DOUBLE) - 170.0 + 0.007 AS lon, "
-        "((s_suppkey * 6397) % 16000) / CAST(100.0 AS DOUBLE) - 80.0 + 0.007 AS lat FROM supplier), "
+        f"q AS (SELECT s_suppkey AS query_id, qx AS lon, qy AS lat "
+        f"FROM ({_supplier_points_sql()})), "
         f"d AS (SELECT query_id, image_id, {hav} AS dist_m FROM q CROSS JOIN c), "
         "r AS (SELECT query_id, image_id, dist_m, "
         "row_number() OVER (PARTITION BY query_id ORDER BY dist_m, image_id) AS rnk FROM d) "

@@ -595,6 +595,7 @@ def neardup_pairs(
     min_score: float = 0.9,
     bands: int = 2,
     max_bucket: int | None = LSH_MAX_BUCKET,
+    on_overflow: str = "star",
 ) -> DataFrame:
     """Embedding near-duplicate pairs — LSH-banded candidate generation
     (a pair is a candidate iff it collides in at least one band's
@@ -629,7 +630,12 @@ def neardup_pairs(
     for p in parts[1:]:
         banded = banded.unionByName(p)
     cand = banded_candidate_pairs(
-        banded, "vec_id", "vec_a", "vec_b", max_bucket=max_bucket
+        banded,
+        "vec_id",
+        "vec_a",
+        "vec_b",
+        max_bucket=max_bucket,
+        on_overflow=on_overflow,
     )
     qa = base.select(
         F.col("vec_id").alias("vec_a"),

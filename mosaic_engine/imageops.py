@@ -293,11 +293,15 @@ def sample_video_frames(
         if bytes(data[:4]) != RAWV_MAGIC or len(data) < 16:
             raise ValueError("corrupt rawv payload (bad magic/header)")
         n, h, w = struct.unpack(">III", bytes(data[4:16]))
-        if n == 0:
-            # the encoder refuses empty frame stacks, so a zero-frame
-            # container is corrupt — raising (instead of returning [])
-            # keeps the Spark lane's no-silent-drop sentinel contract
-            raise ValueError("corrupt rawv payload (zero frames)")
+        if n == 0 or h == 0 or w == 0:
+            # the encoder refuses empty frame stacks and zero-sized
+            # frames, so a zero-dim container is corrupt — raising
+            # (instead of returning [] or degenerate (0, w, 3) frames
+            # that the phash kernel crashes on) keeps the Spark lane's
+            # no-silent-drop sentinel contract (r5 review: h=0 frames
+            # previously came back decode_ok=true while the scalar
+            # oracle crashed on them)
+            raise ValueError("corrupt rawv payload (zero-dim frames)")
         need = n * h * w * 3
         if len(data) < 16 + need:
             raise ValueError("corrupt rawv payload (truncated frames)")

@@ -37,6 +37,13 @@ def make_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # pin the session timezone (r5 review): event timestamps are
+        # parquet TIMESTAMP_NTZ, and unix_timestamp/date_trunc interpret
+        # NTZ through the SESSION zone — on a non-UTC host every
+        # hour_epoch would shift by the UTC offset and sessionization
+        # would split differently across DST, silently diverging from
+        # the timezone-free DuckDB oracles
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         # min(struct)/collect_list use ObjectHashAggregate; the default

@@ -158,6 +158,7 @@ def banded_candidate_pairs(
     out_a: str = "doc_a",
     out_b: str = "doc_b",
     max_bucket: int | None = LSH_MAX_BUCKET,
+    on_overflow: str = "star",
 ) -> DataFrame:
     """The shared LSH-banding candidate generator: (id, band, key) rows
     → distinct id pairs colliding in at least one band. A hash
@@ -176,7 +177,16 @@ def banded_candidate_pairs(
     traded away is the exhaustive within-mega-bucket pair LIST. Count
     affected buckets with `lsh_bucket_stats` (same inputs). Pass
     max_bucket=None for unguarded exact semantics.
+
+    on_overflow="raise" (r5 review): consumers whose downstream
+    CONTRACT is exhaustive-pair semantics (the driver's oracle lanes,
+    whose SQL twins never degrade) fail LOUD the moment any bucket
+    exceeds the cap, instead of silently diverging into an
+    inscrutable hash mismatch at a new fixture scale. The check rides
+    the sizes aggregation the guard already computes — no extra job.
     """
+    if on_overflow not in ("star", "raise"):
+        raise ValueError(f"on_overflow must be 'star' or 'raise' (got {on_overflow!r})")
     if max_bucket is None:
         l = banded.alias("l")
         r = banded.alias("r")
@@ -210,9 +220,26 @@ def banded_candidate_pairs(
             F.col(f"r.{id_col}").alias(out_b),
         )
     )
-    pairs_star = tagged.filter(
-        (F.col("_n") > max_bucket) & (F.col(id_col) != F.col("_root"))
-    ).select(F.col("_root").alias(out_a), F.col(id_col).alias(out_b))
+    if on_overflow == "raise":
+        id_type = tagged.schema[id_col].dataType
+        err = F.raise_error(
+            F.format_string(
+                "banded_candidate_pairs: bucket (band=%s, key=%s) holds "
+                f"%s rows > max_bucket={max_bucket} — this consumer "
+                "requires exhaustive pair semantics (shrink the input "
+                "or pass max_bucket=None)",
+                F.col("band").cast("string"),
+                F.col("key").cast("string"),
+                F.col("_n").cast("string"),
+            )
+        )
+        pairs_star = tagged.filter(F.col("_n") > max_bucket).select(
+            err.cast(id_type).alias(out_a), F.col(id_col).alias(out_b)
+        )
+    else:
+        pairs_star = tagged.filter(
+            (F.col("_n") > max_bucket) & (F.col(id_col) != F.col("_root"))
+        ).select(F.col("_root").alias(out_a), F.col(id_col).alias(out_b))
     return pairs_small.unionByName(pairs_star).distinct()
 
 
@@ -235,7 +262,9 @@ def lsh_bucket_stats(
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, max_bucket: int | None = LSH_MAX_BUCKET
+    docs: DataFrame,
+    max_bucket: int | None = LSH_MAX_BUCKET,
+    on_overflow: str = "star",
 ) -> DataFrame:
     """Candidate near-dup pairs: equal minhash band (LSH banding).
 
@@ -244,7 +273,9 @@ def minhash_lsh_pairs(
     degenerate mega-buckets degrade to stars (see
     banded_candidate_pairs).
     """
-    return banded_candidate_pairs(minhash_banded(docs), max_bucket=max_bucket)
+    return banded_candidate_pairs(
+        minhash_banded(docs), max_bucket=max_bucket, on_overflow=on_overflow
+    )
 
 
 def minhash_banded(docs: DataFrame) -> DataFrame:
@@ -362,6 +393,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     bands: int = SIMHASH_BANDS,
     max_bucket: int | None = LSH_MAX_BUCKET,
+    on_overflow: str = "star",
 ) -> DataFrame:
     """SimHash near-dup pairs: banded candidate generation over the
     64-bit signature + exact hamming verification (bit_count of xor).
@@ -402,7 +434,9 @@ def simhash_pairs(
     banded = parts[0]
     for p in parts[1:]:
         banded = banded.unionByName(p)
-    cand = banded_candidate_pairs(banded, max_bucket=max_bucket)
+    cand = banded_candidate_pairs(
+        banded, max_bucket=max_bucket, on_overflow=on_overflow
+    )
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
     return (

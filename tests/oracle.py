@@ -193,7 +193,11 @@ def ring_intersects_box(ring, w, s, e, n):
 def haversine_m(lon1, lat1, lon2, lat2, radius=6371008.8):
     p1, p2 = math.radians(lat1), math.radians(lat2)
     dlat = p2 - p1
-    dlon = math.radians(lon2 - lon1)
+    # radians FIRST, subtract AFTER — the engine's op order
+    # (geometry.haversine_m); radians(lon2 - lon1) differs in the last
+    # ULP for ~43% of pairs and a near-tie pair could flip the exact
+    # (dist, image_id) rank order this oracle asserts (r5 review)
+    dlon = math.radians(lon2) - math.radians(lon1)
     a = (
         math.sin(dlat / 2.0) ** 2
         + math.cos(p1) * math.cos(p2) * math.sin(dlon / 2.0) ** 2
@@ -548,7 +552,10 @@ def video_frames_scalar(rec: dict, every_n: int) -> list:
         if b[:4] != b"RAWV" or len(b) < 16:
             raise ValueError("corrupt rawv")
         n, h, w = struct.unpack(">III", b[4:16])
-        if n == 0 or len(b) < 16 + n * h * w * 3:
+        if n == 0 or h == 0 or w == 0 or len(b) < 16 + n * h * w * 3:
+            # zero-dim guard mirrors imageops.sample_video_frames (r5
+            # review: h=0 with n>0 previously escaped the except as an
+            # IndexError in phash64_scalar instead of the sentinel)
             raise ValueError("corrupt rawv")
     except (NotImplementedError, ValueError, struct.error):
         return [(-1, 0, False)]

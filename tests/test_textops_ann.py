@@ -702,3 +702,24 @@ def test_ivf_empty_centroids_raise_loud(spark):
     )
     with _pytest.raises(ValueError, match="no centroids"):
         annops.ivf_topk(df, n_queries=2, k=2).collect()
+
+
+def test_banded_pairs_on_overflow_raise(spark):
+    """(r5 review) on_overflow='raise' fails loud when a bucket exceeds
+    the cap instead of silently star-degrading — the oracle-lane
+    contract; the default keeps star semantics."""
+    from pyspark.sql import Row
+
+    rows = [Row(doc_id=i, band=0, key=7) for i in range(30)]
+    banded = spark.createDataFrame(rows)
+    # default: star degradation, n-1 pairs
+    pairs = textops.banded_candidate_pairs(banded, max_bucket=10).collect()
+    assert len(pairs) == 29
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="exhaustive"):
+        textops.banded_candidate_pairs(
+            banded, max_bucket=10, on_overflow="raise"
+        ).collect()
+    with _pytest.raises(ValueError, match="on_overflow"):
+        textops.banded_candidate_pairs(banded, on_overflow="nope")
