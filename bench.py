@@ -131,9 +131,9 @@ def main():
     # time and reloaded from parquet — a warm-cache reload measurement
     # (see timed_reload), with the first in-process execution recorded
     # in extras for the closer-to-restart number
-    # existence sentinel = the LAST artifact's _SUCCESS marker (Spark
-    # creates output dirs before committing), so an interrupted save can
-    # never wedge later runs on a partial index dir
+    # existence sentinel = the COMMIT record's _SUCCESS marker (meta is
+    # written last by knn_index_save's generation scheme), so an
+    # interrupted save can never wedge later runs on a partial index
     # v4: the r5 level pick evolved twice (avg-occupancy bump → row-
     # weighted occupancy bump), each changing this corpus's on-disk
     # banding level, so earlier generations are stale; superseded
@@ -146,7 +146,7 @@ def main():
     for old in _glob.glob(os.path.join(CACHE, f"knn_index_v*_{N_SCENES}")):
         if old != idx_path:
             _shutil.rmtree(old, ignore_errors=True)
-    if not os.path.exists(os.path.join(idx_path, "cent", "_SUCCESS")):
+    if not os.path.exists(os.path.join(idx_path, "meta", "_SUCCESS")):
         ops.knn_index_save(knn_idx, idx_path)
     timed_reload(
         "knn_banded_cold_index",
@@ -209,7 +209,7 @@ def main():
     ivf_path = os.path.join(
         CACHE, f"ivf_index_{SF_DIR.rstrip('/').split('sf')[-1]}"
     )
-    if not os.path.exists(os.path.join(ivf_path, "corpus", "_SUCCESS")):
+    if not os.path.exists(os.path.join(ivf_path, "meta", "_SUCCESS")):
         annops.ivf_index_save(annops.ivf_index(emb), ivf_path)
     timed_reload(
         "ann_ivf_served",

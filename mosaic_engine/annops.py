@@ -386,33 +386,54 @@ def ivf_index(
 
 
 def ivf_index_save(idx: IvfIndex, path: str) -> None:
-    """Persist an IvfIndex as parquet (``path/cents`` +
-    ``path/corpus``) so serving survives the SparkSession. The corpus
-    is written PARTITIONED BY cid — the inverted-list layout on disk:
-    a served query that probes n_probe of n_list lists reads only
-    those directories (Spark's dynamic partition pruning fires on the
-    broadcast probe join), so each request touches ~n_probe/n_list of
-    the corpus bytes, not just of the rows. All I/O goes through
-    Spark's Hadoop FS layer, so `path` may be local, HDFS, or s3a."""
+    """Persist an IvfIndex as parquet so serving survives the
+    SparkSession. The corpus is written PARTITIONED BY cid — the
+    inverted-list layout on disk: a served query that probes n_probe
+    of n_list lists reads only those directories (Spark's dynamic
+    partition pruning fires on the broadcast probe join), so each
+    request touches ~n_probe/n_list of the corpus bytes, not just of
+    the rows.
+
+    GENERATION commit (r5 review, mirrors ops.knn_index_save): data
+    lands in ``path/cents_g<G>`` + ``path/corpus_g<G>`` first and ONE
+    small ``path/meta`` overwrite commits the generation last, so a
+    crash mid-re-save can never serve a mixed index. All I/O goes
+    through Spark's Hadoop FS layer, so `path` may be local, HDFS, or
+    s3a."""
     spark = idx.corpus.sparkSession
+    try:
+        prev = spark.read.parquet(f"{path}/meta").first()
+        gen = int(prev["gen"]) + 1
+    except Exception:
+        gen = 0
     spark.createDataFrame(
         [(int(c), [int(x) for x in v]) for c, v in idx.cents],
         "cid long, c array<long>",
-    ).write.mode("overwrite").parquet(f"{path}/cents")
+    ).write.mode("overwrite").parquet(f"{path}/cents_g{gen}")
     idx.corpus.write.mode("overwrite").partitionBy("cid").parquet(
-        f"{path}/corpus"
+        f"{path}/corpus_g{gen}"
     )
+    spark.createDataFrame([(int(gen),)], "gen int").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta")
 
 
 def ivf_index_load(spark, path: str) -> IvfIndex:
-    """Reload an ivf_index_save'd index. The partition column comes
-    back type-inferred (int), so it is re-cast to long to keep the
-    serving join's key type identical to the built-inline path."""
+    """Reload an ivf_index_save'd index by following ``path/meta``
+    (legacy unversioned cents/corpus layouts load when no meta
+    exists). The partition column comes back type-inferred (int), so
+    it is re-cast to long to keep the serving join's key type
+    identical to the built-inline path."""
+    try:
+        gen = int(spark.read.parquet(f"{path}/meta").first()["gen"])
+        sfx = f"_g{gen}"
+    except Exception:
+        sfx = ""  # legacy layout
     cents = sorted(
         (int(r["cid"]), [int(v) for v in r["c"]])
-        for r in spark.read.parquet(f"{path}/cents").collect()
+        for r in spark.read.parquet(f"{path}/cents{sfx}").collect()
     )
-    corpus = spark.read.parquet(f"{path}/corpus").withColumn(
+    corpus = spark.read.parquet(f"{path}/corpus{sfx}").withColumn(
         "cid", F.col("cid").cast("long")
     )
     return IvfIndex(cents, corpus)

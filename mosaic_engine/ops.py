@@ -95,12 +95,25 @@ def filter_scenes(df: DataFrame, cfg: MosaicConfig) -> DataFrame:
         # _explode_batch's split). Treat the latter as the union of
         # [min_lon, 180] and [-180, max_lon].
         lat_ok = (F.col("min_lat") < n) & (F.col("max_lat") > s)
-        normal = (F.col("min_lon") <= F.col("max_lon")) & (
-            (F.col("min_lon") < e) & (F.col("max_lon") > w)
-        )
-        wrapped = (F.col("min_lon") > F.col("max_lon")) & (
-            (F.col("min_lon") < e) | (F.col("max_lon") > w)
-        )
+        if w <= e:
+            normal = (F.col("min_lon") <= F.col("max_lon")) & (
+                (F.col("min_lon") < e) & (F.col("max_lon") > w)
+            )
+            wrapped = (F.col("min_lon") > F.col("max_lon")) & (
+                (F.col("min_lon") < e) | (F.col("max_lon") > w)
+            )
+        else:
+            # QUERY window crosses the antimeridian (w > e = the union
+            # of [w, 180] and [-180, e]) — previously this arm didn't
+            # exist and a Pacific window silently dropped nearly every
+            # covered scene (r5 review). A normal scene intersects the
+            # union iff it reaches past w or starts before e; a
+            # crossing scene always touches 180 and the window includes
+            # 180, so it always intersects.
+            normal = (F.col("min_lon") <= F.col("max_lon")) & (
+                (F.col("max_lon") > w) | (F.col("min_lon") < e)
+            )
+            wrapped = F.col("min_lon") > F.col("max_lon")
         out = out.filter(lat_ok & (normal | wrapped))
     if cfg.max_cloud < 100.0 or cfg.min_cloud > 0.0:
         # Explicit cloud filter requested: null cloud_cover fails it
@@ -467,16 +480,26 @@ def knn_index(
 def knn_index_save(idx: KnnIndex, path: str) -> None:
     """Persist a KnnIndex as parquet so the index-on-ingest serving
     path survives the SparkSession (a localCheckpointed stats dim dies
-    with its session). Layout: ``path/meta`` (1-row: level),
-    ``path/stats`` (per-cell stats dim), ``path/cent`` (corpus
-    centroids keyed by cell). All I/O goes through Spark's Hadoop FS
-    layer — no POSIX-only ops — so `path` may be local, HDFS, or s3a.
-    """
+    with its session).
+
+    GENERATION commit (r5 review): a re-save over the same path (e.g.
+    after the occupancy bump changed the banding level) previously
+    overwrote meta/stats/cent as three independent writes — a crash
+    mid-save left a mixed-level index that knn_index_load served with
+    silently wrong bounds. Now each save writes its data under
+    ``path/stats_g<G>`` + ``path/cent_g<G>`` first and commits by
+    overwriting ``path/meta`` (level + gen) LAST — the loader follows
+    meta, so a crash at any point leaves the previous generation fully
+    intact. Superseded generation dirs are best-effort GC'd on the
+    next save. All I/O goes through Spark's Hadoop FS layer — no
+    POSIX-only ops — so `path` may be local, HDFS, or s3a."""
     spark = idx.cent.sparkSession
-    spark.createDataFrame([(int(idx.level),)], "level int").write.mode(
-        "overwrite"
-    ).parquet(f"{path}/meta")
-    idx.stats.write.mode("overwrite").parquet(f"{path}/stats")
+    try:
+        prev = spark.read.parquet(f"{path}/meta").first()
+        gen = int(prev["gen"]) + 1 if "gen" in prev.asDict() else 0
+    except Exception:
+        gen = 0
+    idx.stats.write.mode("overwrite").parquet(f"{path}/stats_g{gen}")
     # the (corpus-sized) centroid table is written PARTITIONED BY its
     # coarse storage region (≤ 4^KNN_STORE_LEVELS dirs) and
     # range-clustered on cell within each region: a served probe
@@ -486,21 +509,45 @@ def knn_index_save(idx: KnnIndex, path: str) -> None:
     # layout (annops.ivf_index_save)
     idx.cent.repartitionByRange("scell", "cell").write.mode(
         "overwrite"
-    ).partitionBy("scell").parquet(f"{path}/cent")
+    ).partitionBy("scell").parquet(f"{path}/cent_g{gen}")
+    # the COMMIT: one small overwrite, written last
+    spark.createDataFrame(
+        [(int(idx.level), int(gen))], "level int, gen int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+    # GC superseded generations (best-effort; readers follow meta)
+    from .catalog import _fs_and_path
+
+    try:
+        fs, jpath = _fs_and_path(spark, path)
+        jvm = spark._jvm  # noqa: SLF001
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            for pfx in ("stats_g", "cent_g"):
+                if name.startswith(pfx) and name != f"{pfx}{gen}":
+                    fs.delete(st.getPath(), True)
+    except Exception:
+        pass
 
 
 def knn_index_load(spark, path: str) -> KnnIndex:
-    """Reload a knn_index_save'd index. The stats dim's lineage is now
-    just a bounded parquet scan (≤ 4^level rows), so no checkpoint is
-    needed — knn_join(index=...) serves from it directly. The scell
-    partition column comes back type-inferred, so it is re-cast to
-    long to keep the serving join's key type identical to the
-    built-inline path."""
-    level = int(spark.read.parquet(f"{path}/meta").first()["level"])
-    cent = spark.read.parquet(f"{path}/cent").withColumn(
+    """Reload a knn_index_save'd index by following ``path/meta`` (the
+    generation commit record — see knn_index_save). The stats dim's
+    lineage is now just a bounded parquet scan (≤ 4^level rows), so no
+    checkpoint is needed — knn_join(index=...) serves from it
+    directly. The scell partition column comes back type-inferred, so
+    it is re-cast to long to keep the serving join's key type
+    identical to the built-inline path. Legacy layouts (no gen field)
+    load from the unversioned stats/cent dirs."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    level = int(meta["level"])
+    if "gen" in meta.asDict():
+        sfx = f"_g{int(meta['gen'])}"
+    else:
+        sfx = ""
+    cent = spark.read.parquet(f"{path}/cent{sfx}").withColumn(
         "scell", F.col("scell").cast("long")
     )
-    return KnnIndex(level, cent, spark.read.parquet(f"{path}/stats"))
+    return KnnIndex(level, cent, spark.read.parquet(f"{path}/stats{sfx}"))
 
 
 def knn_join(
@@ -842,9 +889,24 @@ def knn_join(
             out = rank_min_keep(pa.concat_tables(parts))
             yield from out.to_batches()
 
+    # output schema DERIVED from the inputs (r5 review): a hardcoded
+    # "query_id long" crashed mid-job for int32/string probe ids that
+    # knn_bruteforce (the documented oracle twin) accepts; numpy's
+    # lexsort orders object arrays fine, just slower — the id type is
+    # the caller's choice
+    from pyspark.sql import types as T
+
+    in_fields = {f.name: f.dataType for f in scored_in.schema.fields}
     pruned = scored_in.mapInArrow(
         _score_partial,
-        schema="query_id long, k_req int, image_id string, dist_m double",
+        schema=T.StructType(
+            [
+                T.StructField("query_id", in_fields["query_id"]),
+                T.StructField("k_req", in_fields["k_req"]),
+                T.StructField("image_id", in_fields["image_id"]),
+                T.StructField("dist_m", T.DoubleType()),
+            ]
+        ),
     )
     topk = pruned.groupBy("query_id").agg(
         F.slice(

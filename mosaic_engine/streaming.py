@@ -166,6 +166,7 @@ def run_incremental(
     fs = fs or LOCAL_FS
     fs.makedirs(work_dir)
     _check_config_hash(work_dir, cfg, fs)
+    _check_input_dir(work_dir, scenes_dir, fs)
     man = _read_manifest(work_dir, fs)
     if man["folded"]:
         qid = _chk_query_id(work_dir, fs)
@@ -255,6 +256,30 @@ def run_incremental(
     return n_batches["n"]
 
 
+def _check_input_dir(
+    work_dir: str, input_dir: str, fs: StorageClient
+) -> None:
+    """Bind a work_dir to its input directory (r5 review): pointing an
+    existing work_dir at a MOVED or different input makes every file
+    unseen by the source checkpoint, so the whole corpus re-ingests as
+    new batches and appends a duplicate corpus into the log — with no
+    error. The identity is recorded on first use; a later mismatch
+    fails loud."""
+    f = os.path.join(work_dir, "input_dir")
+    cur = fs.canonical(input_dir)
+    if fs.exists(f):
+        prev = fs.read_text(f).strip()
+        if prev != cur:
+            raise ValueError(
+                f"work_dir {work_dir} was built from input {prev!r}; "
+                f"current input is {cur!r} — re-ingesting a different "
+                "(or moved) directory would duplicate the corpus in "
+                "the log. Use a fresh work_dir."
+            )
+    else:
+        fs.write_text_atomic(f, cur)
+
+
 def _check_config_hash(
     work_dir: str, cfg: MosaicConfig, fs: StorageClient
 ) -> None:
@@ -289,8 +314,14 @@ def _read_manifest(work_dir: str, fs: StorageClient = LOCAL_FS) -> dict:
     # live batch dir until the next compaction folds it into gen=0
     legacy = os.path.join(work_dir, "compacted_batches.json")
     if fs.exists(legacy):
+        # chk_id stays None on migration (r5 review): stamping whatever
+        # _chk happens to be present would blindly trust an impostor
+        # checkpoint recreated by a different query/input — leaving it
+        # None routes the next run_incremental through the VALIDATED
+        # adoption path (offset coverage + sources lineage), which
+        # earns the id or refuses.
         man = {"gen": None, "folded": sorted(_json.loads(fs.read_text(legacy))),
-               "chk_id": _chk_query_id(work_dir, fs)}
+               "chk_id": None}
         _write_manifest(work_dir, man, fs)
         fs.delete(legacy)
         return man
@@ -374,12 +405,41 @@ def _sources_log_covers(
                 p = _json.loads(line).get("path", "")
             except ValueError:
                 return False
-            path = urlparse(p).path if "://" in p or p.startswith(
-                "file:"
-            ) else p
-            if not fs.canonical(path).startswith(root + os.sep):
+            # normalize the RECORDED uri and the root with the SAME
+            # convention (r5 review): strip the scheme from the record
+            # only when the root is scheme-less (the local case); when
+            # the root itself is URI-form (object store / file: URI),
+            # compare the full uris — stripping only one side made
+            # adoption always refuse. Separator is "/" (these are
+            # Hadoop/object-store keys, never os.sep-dependent).
+            root_is_uri = "://" in root or root.startswith("file:")
+            if ("://" in p or p.startswith("file:")) and not root_is_uri:
+                p = urlparse(p).path
+            if not fs.canonical(p).startswith(root.rstrip("/") + "/"):
                 return False
     return True
+
+
+def _committed_batches(
+    work_dir: str, fs: StorageClient = LOCAL_FS
+) -> set[int]:
+    """Batch ids the streaming engine COMMITTED (_chk/commits entries;
+    the log compacts like the sources log — a <n>.compact covers every
+    id ≤ n). Compaction must fold only committed batches (r5 review): a
+    batch dir left by a crash mid-write is uncommitted, will be
+    REDELIVERED, and folding it would both capture partial output and
+    make the redelivery skip — permanent silent data loss."""
+    cdir = os.path.join(work_dir, "_chk", "commits")
+    if not fs.isdir(cdir):
+        return set()
+    names = fs.listdir(cdir)
+    out = {int(n) for n in names if n.isdigit()}
+    compacts = [
+        int(n.split(".")[0]) for n in names if n.endswith(".compact")
+    ]
+    if compacts:
+        out |= set(range(0, max(compacts) + 1))
+    return out
 
 
 def _chk_query_id(
@@ -402,12 +462,9 @@ def _folded_batches(
 
 
 def _batch_dirs(work_dir: str, fs: StorageClient = LOCAL_FS) -> list[str]:
-    tiles_dir = os.path.join(work_dir, "tiles_log")
-    if not fs.isdir(tiles_dir):
-        return []
-    return sorted(
-        d for d in fs.listdir(tiles_dir) if d.startswith("batch_id=")
-    )
+    """tiles_log batch partitions — delegates to _named_batch_dirs so
+    there is ONE listing/sort definition (r5 review)."""
+    return _named_batch_dirs(os.path.join(work_dir, "tiles_log"), fs)
 
 
 def _tiles_paths(work_dir: str, fs: StorageClient = LOCAL_FS) -> list[str]:
@@ -464,7 +521,23 @@ def compact_tiles_log(
                 man["gen"] is None or g != f"gen={man['gen']}"
             ):
                 fs.delete_tree(os.path.join(comp_root, g))
-    live = _tiles_paths(work_dir, fs)
+    # fold ONLY batches the streaming engine committed (r5 review): an
+    # uncommitted batch dir (crash mid-write) will be REDELIVERED —
+    # folding it would capture partial output and make the redelivery
+    # skip. Uncommitted dirs stay live for their redelivery to replace.
+    committed = _committed_batches(work_dir, fs)
+    foldable = sorted(
+        b
+        for b in (
+            int(d.split("=", 1)[1]) for d in _batch_dirs(work_dir, fs)
+        )
+        if b not in folded and b in committed
+    )
+    live = ([
+        os.path.join(comp_root, f"gen={man['gen']}")
+    ] if man["gen"] is not None else []) + [
+        os.path.join(tiles_dir, f"batch_id={b}") for b in foldable
+    ]
     if len(live) <= 1:
         return 0
     new_gen = 0 if man["gen"] is None else man["gen"] + 1
@@ -472,9 +545,7 @@ def compact_tiles_log(
     spark.read.parquet(*live).repartition(target_partitions).write.parquet(
         gen_dir
     )
-    new_folded = folded | {
-        int(d.split("=", 1)[1]) for d in _batch_dirs(work_dir, fs)
-    }
+    new_folded = folded | set(foldable)
     _write_manifest(
         work_dir,
         {
@@ -487,8 +558,8 @@ def compact_tiles_log(
     )
     # post-commit cleanup (best-effort: a crash here only leaves
     # garbage that the manifest never references; next call GCs it)
-    for d in _batch_dirs(work_dir, fs):
-        fs.delete_tree(os.path.join(tiles_dir, d))
+    for b in foldable:
+        fs.delete_tree(os.path.join(tiles_dir, f"batch_id={b}"))
     if man["gen"] is not None:
         fs.delete_tree(os.path.join(comp_root, f"gen={man['gen']}"))
     return len(live)
@@ -541,6 +612,24 @@ def run_incremental_dedup(
 
     fs = fs or LOCAL_FS
     fs.makedirs(work_dir)
+    _check_input_dir(work_dir, docs_dir, fs)
+    man = _read_manifest(work_dir, fs)
+    if man["folded"]:
+        # the same silent-skip hazard run_incremental guards (r5
+        # review): folded batch ids only protect redelivery under the
+        # OFFSET LOG that named them — a missing/recreated _chk would
+        # replay all input under recycled ids and the folded-skip would
+        # drop the new documents' pairs with a success return
+        qid = _chk_query_id(work_dir, fs)
+        if qid is None or man["chk_id"] is None or qid != man["chk_id"]:
+            raise ValueError(
+                f"work_dir {work_dir} has compacted (folded) dedup "
+                "batches but its streaming checkpoint (_chk) is "
+                "missing or belongs to a different query — replayed "
+                "input would reuse folded batch ids and be silently "
+                "dropped. Restore the original _chk or start a fresh "
+                "work_dir."
+            )
     schema = spark.read.parquet(docs_dir).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
@@ -670,13 +759,17 @@ def compact_dedup_logs(
             )
         }
 
-    # fold ONLY batches whose BANDS AND PAIRS both committed: a handle()
+    # fold ONLY batches whose BANDS AND PAIRS both committed AND that
+    # the streaming engine itself committed (_chk/commits): a handle()
     # that crashed between its two writes leaves a bands-only dir, and
-    # folding it would mark the batch done while its pairs were never
-    # emitted — redelivery would then skip it and silently lose every
-    # pair whose later member arrived in that batch. A one-sided dir is
-    # left for the redelivered batch to overwrite-complete.
-    complete = _ids("bands") & _ids("pairs")
+    # a crash after both writes but before the engine commit leaves
+    # two possibly-partial dirs — folding either would mark the batch
+    # done while redelivery still owes it, silently losing every pair
+    # whose later member arrived in that batch. One-sided/uncommitted
+    # dirs are left for the redelivered batch to overwrite-complete.
+    complete = (
+        _ids("bands") & _ids("pairs") & _committed_batches(work_dir, fs)
+    )
     new_gen = 0 if man["gen"] is None else man["gen"] + 1
     folded_now = 0
     for log in ("bands", "pairs"):
@@ -739,6 +832,23 @@ def incremental_dedup_pairs(
     return spark.read.parquet(*dirs)
 
 
+def _read_sink(spark: SparkSession, path: str, schema: str) -> "DataFrame":
+    """Read a streaming parquet sink back. A drain that emitted ZERO
+    rows (every event still inside the watermark horizon) commits a
+    metadata log with no data files — or no directory at all when no
+    batch ran — and a plain read raises; that is a valid outcome, so
+    return an empty frame with the sink's known schema instead (r5
+    review)."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force resolution
+        return df
+    except AnalysisException:
+        return spark.createDataFrame([], schema)
+
+
 def windowed_event_counts(
     spark: SparkSession,
     events_dir: str,
@@ -789,7 +899,12 @@ def windowed_event_counts(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(os.path.join(out_dir, "counts"))
+    return _read_sink(
+        spark,
+        os.path.join(out_dir, "counts"),
+        "window_epoch long, event_type string, n_events long, "
+        "sum_value double",
+    )
 
 
 def run_streaming_sessions(
@@ -899,7 +1014,11 @@ def run_streaming_sessions(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(os.path.join(out_dir, "sessions"))
+    return _read_sink(
+        spark,
+        os.path.join(out_dir, "sessions"),
+        "user_id long, session_start long, n_events int, sum_value double",
+    )
 
 
 def finalize(

@@ -291,13 +291,21 @@ def features_to_mosaic(
         kept = [s for s in kept if "_T1" in s["image_id"]]
     if bounds_filter is not None:
         w, s_, e, n = bounds_filter
+
+        def lon_ok(sc) -> bool:
+            # mirrors ops.filter_scenes (r5): crossing SCENES store
+            # min_lon > max_lon; a crossing WINDOW has w > e (union of
+            # [w, 180] and [-180, e]); a crossing scene always touches
+            # 180, which a crossing window always includes
+            a, b = sc["min_lon"], sc["max_lon"]
+            if w <= e:
+                return (a < e and b > w) if a <= b else (a < e or b > w)
+            return (b > w or a < e) if a <= b else True
+
         kept = [
             sc
             for sc in kept
-            if sc["min_lon"] < e
-            and sc["max_lon"] > w
-            and sc["min_lat"] < n
-            and sc["max_lat"] > s_
+            if lon_ok(sc) and sc["min_lat"] < n and sc["max_lat"] > s_
         ]
     tiles_map: dict[str, list[dict]] = {}
     for sc in kept:

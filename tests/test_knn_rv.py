@@ -356,9 +356,12 @@ def test_knn_index_save_load_matches_built_inline(spark, scenes_df, tmp_path):
     # dynamic partition pruning reads only the candidate regions
     import os
 
+    gen = int(
+        spark.read.parquet(os.path.join(path, "meta")).first()["gen"]
+    )
     assert any(
         d.startswith("scell=")
-        for d in os.listdir(os.path.join(path, "cent"))
+        for d in os.listdir(os.path.join(path, f"cent_g{gen}"))
     )
     plan = (
         ops.knn_join(None, q, index=loaded)
@@ -486,3 +489,50 @@ def test_pack_cell_rejects_out_of_range_coords():
     ):
         with _pytest.raises(ValueError, match="out of range"):
             cells.pack_cell(np.array(xs), np.array(ys), lv)
+
+
+def test_knn_index_save_generation_commit(spark, scenes_df, tmp_path):
+    """(r5 review) Re-saving an index over the same path commits via
+    meta-last generations: a crash that leaves a partial new
+    generation must not corrupt what the loader serves."""
+    import shutil
+
+    path = str(tmp_path / "idx")
+    idx0 = ops.knn_index(scenes_df, level=5)
+    ops.knn_index_save(idx0, path)
+    loaded0 = ops.knn_index_load(spark, path)
+    assert loaded0.level == 5
+
+    # simulate a crash mid-re-save: a partial new stats generation
+    # appears but meta was never rewritten
+    shutil.copytree(
+        os.path.join(path, "stats_g0"), os.path.join(path, "stats_g1")
+    )
+    assert ops.knn_index_load(spark, path).level == 5  # still gen 0
+
+    # a full re-save at a new level commits and supersedes
+    ops.knn_index_save(ops.knn_index(scenes_df, level=6), path)
+    loaded1 = ops.knn_index_load(spark, path)
+    assert loaded1.level == 6
+    # served results match a fresh index at the same level
+    queries = spark.createDataFrame(
+        [(i, -120.0 + i, 33.0 + 0.5 * i, 3) for i in range(4)],
+        "query_id long, lon double, lat double, k int",
+    )
+    a = sorted(map(tuple, ops.knn_join(None, queries, index=loaded1).collect()))
+    b = sorted(map(tuple, ops.knn_join(
+        None, queries, index=ops.knn_index(scenes_df, level=6)).collect()))
+    assert a == b
+
+
+def test_knn_join_accepts_non_long_query_ids(spark, scenes_df):
+    """(r5 review) String/int32 probe ids must serve like
+    knn_bruteforce accepts them (the Arrow schema derives from the
+    input now)."""
+    queries = spark.createDataFrame(
+        [("alpha", -120.0, 33.0, 2), ("beta", -115.0, 35.0, 2)],
+        "query_id string, lon double, lat double, k int",
+    )
+    got = sorted(map(tuple, ops.knn_join(scenes_df, queries, level=5).collect()))
+    want = sorted(map(tuple, ops.knn_bruteforce(scenes_df, queries).collect()))
+    assert [g[:3] for g in got] == [w[:3] for w in want] and len(got) == 4

@@ -770,3 +770,39 @@ def test_missing_quadkeys_zoom_mismatch_fails_loud(spark, scenes_df, fixture_dir
     assign = mz.quadkey_assignments(scenes_df, MosaicConfig(quadkey_zoom=8))
     with pytest.raises(ValueError, match="quadkey_zoom"):
         ops.missing_quadkeys(land, assign, 7).collect()
+
+
+def test_filter_scenes_crossing_query_bounds(spark, scenes_df):
+    """(r5 review) A Pacific query window spanning ±180 (w > e) keeps
+    scenes on either side of the antimeridian and all crossing
+    scenes — previously nearly everything was silently dropped."""
+    ids = lambda df: {r["image_id"] for r in df.collect()}  # noqa: E731
+    got = ids(ops.filter_scenes(
+        scenes_df, MosaicConfig(bounds=(170.0, -10.0, -170.0, 10.0))
+    ))
+    # every crossing scene in the fixture touches 180 → included
+    wrapped = {
+        r["image_id"]
+        for r in scenes_df.filter("min_lon > max_lon").collect()
+        if r["min_lat"] < 10.0 and r["max_lat"] > -10.0
+    }
+    assert wrapped and wrapped <= got
+    # byte-equal to the scalar oracle under the same crossing window
+    import pyarrow.parquet as pq
+
+    from tests import oracle as orc
+
+    recs = [r.asDict() for r in scenes_df.collect()]
+    w, s_, e, n = 170.0, -10.0, -170.0, 10.0
+
+    def lon_ok(sc):
+        a, b = sc["min_lon"], sc["max_lon"]
+        if a <= b:
+            return b > w or a < e
+        return True
+
+    exp = {
+        sc["image_id"] for sc in recs
+        if lon_ok(sc) and sc["min_lat"] < n and sc["max_lat"] > s_
+    }
+    assert got == exp

@@ -518,7 +518,9 @@ def test_bookkeeping_runs_through_storage_seam():
         {"id": "qid-7"}
     )
     man = streaming._read_manifest(legacy_work, fs)
-    assert man == {"gen": None, "folded": [1, 3], "chk_id": "qid-7"}
+    # migration leaves chk_id None (r5 review): the present _chk could
+    # be an impostor; the validated adoption path must earn the id
+    assert man == {"gen": None, "folded": [1, 3], "chk_id": None}
     assert os.path.join(legacy_work, "compacted_batches.json") not in fs.files
 
     # config-hash guard through the seam
@@ -682,3 +684,31 @@ def test_dedup_compaction_skips_one_sided_crash_batches(spark, tmp_path):
     # the one-sided dir is untouched, awaiting redelivery
     assert os.path.isdir(os.path.join(work, "bands_log", "batch_id=9"))
     assert not os.path.isdir(os.path.join(work, "bands_log", "batch_id=0"))
+
+
+def test_compaction_skips_uncommitted_batches(spark, tmp_path):
+    """(r5 review) A batch dir without a _chk/commits entry (crash
+    mid-write) must not be folded — redelivery still owes it."""
+    import shutil
+
+    full = datagen.gen_scenes(n_scenes=40, paths=3, rows=3, seed=5)
+    scenes_dir = str(tmp_path / "scenes")
+    work = str(tmp_path / "work")
+    os.makedirs(scenes_dir)
+    datagen.write_parquet(full.slice(0, 20), os.path.join(scenes_dir, "p1.parquet"))
+    cfg = MosaicConfig(quadkey_zoom=7)
+    streaming.run_incremental(spark, scenes_dir, cfg, work)
+    datagen.write_parquet(full.slice(20), os.path.join(scenes_dir, "p2.parquet"))
+    streaming.run_incremental(spark, scenes_dir, cfg, work)
+    assert streaming._committed_batches(work) >= {0, 1}
+
+    # simulate the crash: batch dir 9 exists but was never committed
+    shutil.copytree(
+        os.path.join(work, "tiles_log", "batch_id=0"),
+        os.path.join(work, "tiles_log", "batch_id=9"),
+    )
+    folded = streaming.compact_tiles_log(spark, work, target_partitions=2)
+    assert folded >= 2
+    man = streaming._read_manifest(work)
+    assert 9 not in man["folded"] and {0, 1} <= set(man["folded"])
+    assert os.path.isdir(os.path.join(work, "tiles_log", "batch_id=9"))

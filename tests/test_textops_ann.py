@@ -584,10 +584,18 @@ def test_ivf_index_save_load_serves_identically(spark, tmp_path):
     idx = annops.ivf_index(emb)
     path = str(tmp_path / "ivf_idx")
     annops.ivf_index_save(idx, path)
-    # inverted-list layout: one directory per centroid list
-    dirs = [d for d in os.listdir(os.path.join(path, "corpus"))
+    # inverted-list layout: one directory per centroid list, under the
+    # committed generation (meta-last commit, r5)
+    gen = int(spark.read.parquet(os.path.join(path, "meta")).first()["gen"])
+    dirs = [d for d in os.listdir(os.path.join(path, f"corpus_g{gen}"))
             if d.startswith("cid=")]
     assert 1 <= len(dirs) <= annops.N_LIST
+    # re-save commits a NEW generation; a stale partial generation dir
+    # without a meta rewrite is invisible to the loader
+    annops.ivf_index_save(idx, path)
+    assert int(
+        spark.read.parquet(os.path.join(path, "meta")).first()["gen"]
+    ) == gen + 1
 
     loaded = annops.ivf_index_load(spark, path)
     assert loaded.cents == idx.cents
