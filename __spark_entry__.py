@@ -1066,9 +1066,11 @@ def q_dedup_incremental(spark, sf_dir):
 
 
 def sql_dedup_incremental():
-    # the incremental path is exhaustive (max_bucket=None); the batch
-    # LSH-pair oracle IS its oracle (fixtures carry no overflow
-    # buckets — tests/test_fixture_guards.py locks that)
+    # the incremental path guards mega-buckets (r6: default
+    # max_bucket=LSH_MAX_BUCKET, star fallback), but on these fixtures
+    # no bucket overflows — tests/test_fixture_guards.py locks that —
+    # so its pairs equal exhaustive LSH pairs and the batch LSH-pair
+    # oracle IS its oracle
     return sql_minhash_lsh_pairs()
 
 

