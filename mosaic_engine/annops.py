@@ -397,9 +397,14 @@ def ivf_index_save(idx: IvfIndex, path: str) -> None:
     GENERATION commit (r5 review, mirrors ops.knn_index_save): data
     lands in ``path/cents_g<G>`` + ``path/corpus_g<G>`` first and ONE
     small ``path/meta`` overwrite commits the generation last, so a
-    crash mid-re-save can never serve a mixed index. All I/O goes
+    crash mid-re-save can never serve a mixed index. Superseded
+    generations and legacy unversioned dirs are best-effort GC'd after
+    the commit (r6 — VERDICT r5 #4: repeated re-saves previously
+    accumulated corpus-sized ``corpus_g*`` dirs forever). All I/O goes
     through Spark's Hadoop FS layer, so `path` may be local, HDFS, or
     s3a."""
+    from .ops import _gc_superseded_generations
+
     spark = idx.corpus.sparkSession
     try:
         prev = spark.read.parquet(f"{path}/meta").first()
@@ -416,6 +421,7 @@ def ivf_index_save(idx: IvfIndex, path: str) -> None:
     spark.createDataFrame([(int(gen),)], "gen int").write.mode(
         "overwrite"
     ).parquet(f"{path}/meta")
+    _gc_superseded_generations(spark, path, ("cents", "corpus"), gen)
 
 
 def ivf_index_load(spark, path: str) -> IvfIndex:

@@ -182,11 +182,27 @@ def write_snapshot_manifest(spark: SparkSession, location: str) -> dict:
     jpath = jvm.org.apache.hadoop.fs.Path(
         location.rstrip("/") + "/" + SNAPSHOT_FILE
     )
-    stream = fs.create(jpath, True)
+    # temp-write + rename (r6 advice): a plain create(overwrite=True)
+    # truncates in place, so a crash or concurrent reader mid-write
+    # observed a torn manifest — lineage silently degraded to stat/name
+    # hashing and write_table(mode='ignore') crashed on the parse.
+    # rename is atomic on HDFS/posix; on object stores it's
+    # copy+delete, but there the create itself is already a single PUT
+    # (no truncate window) and the reader additionally tolerates torn
+    # JSON (read_snapshot_manifest).
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        location.rstrip("/") + "/" + SNAPSHOT_FILE + ".tmp"
+    )
+    stream = fs.create(tmp, True)
     try:
         stream.write(json.dumps(snap, sort_keys=True).encode())
     finally:
         stream.close()
+    fs.delete(jpath, False)
+    if not fs.rename(tmp, jpath):
+        raise IOError(
+            f"snapshot manifest commit failed: rename {tmp} -> {jpath}"
+        )
     return snap
 
 
@@ -194,7 +210,12 @@ def read_snapshot_manifest(
     spark: SparkSession, location: str
 ) -> dict | None:
     """Load the snapshot manifest at `location`, or None if the table
-    was not written through write_table (no manifest)."""
+    was not written through write_table (no manifest). A torn/corrupt
+    manifest (crash mid-write on a store without atomic rename) is
+    treated as ABSENT rather than raised (r6 advice): callers —
+    checkpoint lineage and write_table(mode='ignore') — already have a
+    defined no-manifest behavior, and a torn file should degrade to
+    that, not crash the resume path."""
     fs, _ = _fs_and_path(spark, location)
     jvm = spark._jvm  # noqa: SLF001
     jpath = jvm.org.apache.hadoop.fs.Path(
@@ -202,11 +223,20 @@ def read_snapshot_manifest(
     )
     if not fs.exists(jpath):
         return None
-    stream = fs.open(jpath)
     try:
-        text = jvm.org.apache.commons.io.IOUtils.toString(
-            stream, "UTF-8"
-        )
-    finally:
-        stream.close()
-    return json.loads(text)
+        stream = fs.open(jpath)
+        try:
+            text = jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        return json.loads(text)
+    except ValueError:
+        return None  # torn JSON
+    except Exception:
+        # read-side corruption also surfaces as an IO error, not a
+        # parse error — e.g. Hadoop's ChecksumFileSystem raising on a
+        # manifest truncated behind its .crc sidecar. The manifest is
+        # OPTIONAL evidence with a defined absent behavior; degrade.
+        return None

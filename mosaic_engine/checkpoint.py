@@ -44,8 +44,12 @@ def input_snapshot_hash(df: DataFrame) -> str:
     Iceberg content-address their file names anyway).
 
     Cost shape: one memoized manifest probe per distinct input
-    DIRECTORY (walking ≤3 levels up to cross partition dirs), not per
-    file — driver-side metadata reads only."""
+    DIRECTORY (walking UP TO THE FILESYSTEM ROOT — a fixed 3-level cap
+    silently missed the manifest of any table partitioned by 3+
+    columns and degraded lineage to stat/name exactly in the
+    rewrite-behind-same-names case the snapshot exists to catch, r6
+    advice), not per file — driver-side metadata reads only; the memo
+    bounds the walk to one probe per distinct ancestor dir."""
     import posixpath
     from urllib.parse import unquote, urlparse
 
@@ -69,7 +73,7 @@ def input_snapshot_hash(df: DataFrame) -> str:
         cur = dir_uri
         chain = []
         sid = None
-        for _ in range(3):
+        while True:
             if cur in snap_cache:
                 sid = snap_cache[cur]
                 break

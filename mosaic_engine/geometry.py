@@ -76,7 +76,12 @@ def points_in_polys(px, py, RX, RY, eps: float = 1e-12):
     x1, y1, x2, y2 = _edges(RX, RY)
     # crossing-number parity; zero-length pad edges have y1==y2 → no cross
     cond = (y1 > py) != (y2 > py)
-    with np.errstate(divide="ignore", invalid="ignore"):
+    # divide: y1==y2 pad/horizontal edges → ±inf/NaN, masked by `cond`
+    # (which is False there); over: a near-degenerate edge can push the
+    # quotient past float max (VERDICT r5 #7 — hypothesis hit it), and
+    # the resulting inf compares fine in `px < xint`. Silencing keeps
+    # REAL warnings from other kernels visible in test logs.
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
     crosses = cond & (px < xint)
     inside = (crosses.sum(axis=1) & 1).astype(bool)

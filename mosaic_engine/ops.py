@@ -544,15 +544,30 @@ def knn_index_save(idx: KnnIndex, path: str) -> None:
         [(int(idx.level), int(gen))], "level int, gen int"
     ).write.mode("overwrite").parquet(f"{path}/meta")
     # GC superseded generations (best-effort; readers follow meta)
+    _gc_superseded_generations(spark, path, ("stats", "cent"), gen)
+
+
+def _gc_superseded_generations(
+    spark, path: str, prefixes: tuple[str, ...], live_gen: int
+) -> None:
+    """Best-effort post-commit GC shared by knn_index_save and
+    annops.ivf_index_save: once generation `live_gen` is meta-committed,
+    delete every other ``<pfx>_g<k>`` dir AND the bare legacy ``<pfx>``
+    dirs from the pre-generation layout (r6 advice — a migrated index
+    otherwise leaked its corpus-sized legacy dir forever). Readers
+    follow meta, so nothing here is load-bearing; failures are
+    swallowed and retried by the next save."""
     from .catalog import _fs_and_path
 
     try:
         fs, jpath = _fs_and_path(spark, path)
-        jvm = spark._jvm  # noqa: SLF001
         for st in fs.listStatus(jpath):
             name = st.getPath().getName()
-            for pfx in ("stats_g", "cent_g"):
-                if name.startswith(pfx) and name != f"{pfx}{gen}":
+            for pfx in prefixes:
+                if name == pfx or (
+                    name.startswith(f"{pfx}_g")
+                    and name != f"{pfx}_g{live_gen}"
+                ):
                     fs.delete(st.getPath(), True)
     except Exception:
         pass

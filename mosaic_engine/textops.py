@@ -271,7 +271,10 @@ def minhash_lsh_pairs(
     Scale path: the band self-join is a hash equi-join on
     (band_id, band_signature) — only colliding docs shuffle together;
     degenerate mega-buckets degrade to stars (see
-    banded_candidate_pairs).
+    banded_candidate_pairs). This one-shot form has no mid-job
+    kill/resume story; for corpora large enough to need one, feed the
+    same files to streaming.run_incremental_dedup (availableNow) —
+    file-granular resumable micro-batches, same pair semantics.
     """
     return banded_candidate_pairs(
         minhash_banded(docs), max_bucket=max_bucket, on_overflow=on_overflow

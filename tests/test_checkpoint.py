@@ -197,6 +197,51 @@ def test_snapshot_manifest_invalidates_same_name_rewrite(
     assert b["n_prefixes_skipped"] == a["n_prefixes"]
 
 
+def test_snapshot_manifest_found_under_deep_partitioning(spark, tmp_path):
+    """(r6 advice) input_snapshot_hash probes ancestors up to the FS
+    root: a table partitioned by 3+ columns puts its data files 3+
+    dirs below the root holding _snapshot.json, and the old fixed
+    3-level walk silently degraded lineage to stat/name there —
+    exactly the rewrite-behind-same-names case the snapshot catches."""
+    from mosaic_engine import catalog, checkpoint
+
+    src = str(tmp_path / "deep_tbl")
+    df = spark.range(24).selectExpr(
+        "id", "id % 2 AS a", "id % 3 AS b", "id % 2 AS c"
+    )
+    catalog.write_table(df, src, partition_by=["a", "b", "c"])
+    read = spark.read.parquet(src)
+    h1 = checkpoint.input_snapshot_hash(read)
+    # a new snapshot commit over byte-identical files must flip the
+    # hash — only possible if the deep probe actually found the
+    # manifest both times
+    catalog.write_snapshot_manifest(spark, src)
+    h2 = checkpoint.input_snapshot_hash(spark.read.parquet(src))
+    assert h1 != h2
+
+
+def test_torn_snapshot_manifest_degrades_not_crashes(spark, tmp_path):
+    """(r6 advice) write_snapshot_manifest commits via temp+rename, and
+    a torn/truncated manifest left by a crash on a store without
+    atomic rename reads as ABSENT: lineage degrades to stat/name and
+    write_table(mode='ignore') re-commits instead of raising."""
+    from mosaic_engine import catalog, checkpoint
+
+    src = str(tmp_path / "torn_tbl")
+    catalog.write_table(spark.range(5), src)
+    mpath = os.path.join(src, catalog.SNAPSHOT_FILE)
+    assert not os.path.exists(mpath + ".tmp")  # temp renamed away
+    full = open(mpath).read()
+    with open(mpath, "w") as f:
+        f.write(full[: len(full) // 2])  # torn mid-write
+    assert catalog.read_snapshot_manifest(spark, src) is None
+    h = checkpoint.input_snapshot_hash(spark.read.parquet(src))
+    assert h and not h.startswith("nofiles-")
+    # mode='ignore' sees no (valid) manifest and re-commits one
+    catalog.write_table(spark.range(5), src, mode="ignore")
+    assert catalog.read_snapshot_manifest(spark, src) is not None
+
+
 def test_lineage_and_guard_edges(spark, scenes_df, tmp_path):
     """(r5 review) Non-file inputs yield a never-matching lineage token
     (resume degrades to recompute, never serves stale data); a remote

@@ -532,10 +532,17 @@ def test_knn_index_save_generation_commit(spark, scenes_df, tmp_path):
     )
     assert ops.knn_index_load(spark, path).level == 5  # still gen 0
 
+    # a fake legacy (pre-generation) layout dir must be GC'd too: a
+    # migrated index otherwise leaks its corpus-sized dir forever (r6)
+    os.makedirs(os.path.join(path, "cent"))
     # a full re-save at a new level commits and supersedes
     ops.knn_index_save(ops.knn_index(scenes_df, level=6), path)
     loaded1 = ops.knn_index_load(spark, path)
     assert loaded1.level == 6
+    # post-commit GC: only the live generation (+ meta) remains — the
+    # superseded g0 dirs, the crash-left partial stats_g1 (overwritten
+    # into the live gen), and the legacy bare dir are all gone
+    assert sorted(os.listdir(path)) == ["cent_g1", "meta", "stats_g1"]
     # served results match a fresh index at the same level
     queries = spark.createDataFrame(
         [(i, -120.0 + i, 33.0 + 0.5 * i, 3) for i in range(4)],

@@ -318,7 +318,9 @@ def test_compaction_survives_redelivery_and_crash(spark, tmp_path):
         full.slice(0, 10), os.path.join(scenes_dir, "p2.parquet"))
     streaming.run_incremental(spark, scenes_dir, cfg, work)
     before2 = streaming.finalize(spark, scenes_dir, cfg, work)
-    assert streaming.compact_tiles_log(spark, work, target_partitions=2) == 2
+    # ONE batch partition folded (gen=0 merges in but is not a batch —
+    # the r6 advice fix; the old return said 2 here)
+    assert streaming.compact_tiles_log(spark, work, target_partitions=2) == 1
     assert streaming._tiles_paths(work) == [
         os.path.join(work, "tiles_compacted", "gen=1")]
     assert mz.canonical_json(
@@ -727,6 +729,61 @@ def test_incremental_dedup_mega_bucket_guard(spark, tmp_path):
         return sorted(map(frozenset, groups.values()), key=min)
 
     assert clusters(inc_pairs) == clusters(batch_pairs_df)
+
+
+def test_incremental_dedup_kill_resume(spark, tmp_path, monkeypatch):
+    """(VERDICT r5 #5) run_incremental_dedup IS the resumable dedup
+    entry point: a kill between micro-batches (the handler dies on
+    batch 1 of 3) leaves batch 0 committed; the re-run redelivers the
+    dead batch under its original id, overwrite-completes it, and the
+    accumulated pairs equal the one-shot batch LSH pairs — the mosaic
+    lane's kill/resume contract, on the dedup lane."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import pytest
+
+    from mosaic_engine import textops
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    sdir = str(tmp_path / "docs_stream_k")
+    os.makedirs(sdir)
+    work = str(tmp_path / "dedup_work_k")
+    for i in range(3):
+        part = pc.equal(pc.bit_wise_and(t["doc_id"], 3), i)
+        datagen.write_parquet(
+            t.filter(part), os.path.join(sdir, f"p{i}.parquet")
+        )
+
+    orig = textops.minhash_banded
+    calls = {"n": 0}
+
+    def dies_on_second_batch(df):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected kill between micro-batches")
+        return orig(df)
+
+    monkeypatch.setattr(textops, "minhash_banded", dies_on_second_batch)
+    with pytest.raises(Exception, match="injected kill"):
+        streaming.run_incremental_dedup(
+            spark, sdir, work, max_files_per_trigger=1
+        )
+    monkeypatch.setattr(textops, "minhash_banded", orig)
+    # batch 0 committed before the kill; the dead batch is redelivered
+    assert streaming._committed_batches(work) == {0}
+
+    # resume: remaining files (incl. the killed batch, same id) process
+    assert streaming.run_incremental_dedup(
+        spark, sdir, work, max_files_per_trigger=1
+    ) >= 2
+    got = sorted(
+        map(tuple, streaming.incremental_dedup_pairs(spark, work).collect())
+    )
+    docs = spark.read.parquet(sdir)
+    want = sorted(
+        map(tuple, textops.minhash_lsh_pairs(docs, max_bucket=None).collect())
+    )
+    assert got == want and len(got) > 0
 
 
 def test_dedup_compaction_skips_one_sided_crash_batches(spark, tmp_path):

@@ -591,11 +591,19 @@ def test_ivf_index_save_load_serves_identically(spark, tmp_path):
             if d.startswith("cid=")]
     assert 1 <= len(dirs) <= annops.N_LIST
     # re-save commits a NEW generation; a stale partial generation dir
-    # without a meta rewrite is invisible to the loader
+    # without a meta rewrite is invisible to the loader. A fake legacy
+    # (pre-generation) corpus dir rides along to prove migration GC.
+    os.makedirs(os.path.join(path, "corpus"))
     annops.ivf_index_save(idx, path)
     assert int(
         spark.read.parquet(os.path.join(path, "meta")).first()["gen"]
     ) == gen + 1
+    # post-commit GC (VERDICT r5 #4): superseded generations and the
+    # legacy bare dir are deleted — repeated re-saves no longer
+    # accumulate corpus-sized dirs forever
+    assert sorted(os.listdir(path)) == [
+        f"cents_g{gen + 1}", f"corpus_g{gen + 1}", "meta"
+    ]
 
     loaded = annops.ivf_index_load(spark, path)
     assert loaded.cents == idx.cents
