@@ -488,6 +488,173 @@ def sql_geo_knn_brute():
     )
 
 
+# ------------------------------------------------------------ hex cells
+# G7 true-hex ring (SURVEY §2.3, the last optional interop gap): the
+# hexcells lattice at work — cell assignment + the 6-equidistant-
+# neighbor k-ring join that square 3×3 rings cannot express. Engine
+# math in mosaic_engine/hexcells.py (Arrow-batched numpy); the oracle
+# twins below recompute the identical published formulas in DuckDB
+# (floor(v+0.5) cube rounding — see hexcells module doc for why
+# round() is not usable across the three engines).
+HEX_RES_AGG = 8
+HEX_RES_RING = 6
+# hexcells.hex_kring_offsets(1), lexicographic — mirrored in the SQL
+# VALUES table; symmetric under negation, so scatter ≡ gather
+_HEX_K1 = [(-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1), (1, -1), (1, 0)]
+
+_HEX_QR_UDFS: dict = {}
+
+
+def _hex_qr_udf(res: int):
+    """Per-res cached pandas_udf → (hq, hr) axial hex coords (the
+    packed id is derived NATIVELY from them — integer codegen, no
+    second Arrow hop)."""
+    if res not in _HEX_QR_UDFS:
+        from pyspark.sql import types as T
+        from pyspark.sql.functions import pandas_udf
+
+        from mosaic_engine import hexcells as hx
+
+        @pandas_udf(T.StructType([
+            T.StructField("hq", T.LongType()),
+            T.StructField("hr", T.LongType()),
+        ]))
+        def hex_qr(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+            qf, rf = hx._axial_float(lon.to_numpy(), lat.to_numpy(), res)
+            q, r = hx._cube_round(qf, rf)
+            return pd.DataFrame({"hq": q, "hr": r})
+
+        _HEX_QR_UDFS[res] = hex_qr
+    return _HEX_QR_UDFS[res]
+
+
+def _hex_id_col(hq, hr, res: int):
+    """Native-column twin of hexcells.hex_pack (plain int64 ops)."""
+    off = 1 << (res + 1)
+    span = 1 << 28
+    return ((hq + F.lit(off)) * F.lit(span) + (hr + F.lit(off))) * F.lit(
+        32
+    ) + F.lit(res)
+
+
+def _hex_sql_ctes(res: int, keep: str) -> str:
+    """CTE chain pts-source → ``hexed`` (hq, hr, hex_id): op-for-op the
+    numpy kernel (hexcells._axial_float + _cube_round + hex_pack)."""
+    scale = float(1 << res)
+    off = 1 << (res + 1)
+    span = 1 << 28
+    return (
+        f"m AS (SELECT {keep}, lon/360.0 + 0.5 AS mx, "
+        "0.5 - 0.25 * ln((1.0 + sin(radians(lat))) / (1.0 - sin(radians(lat)))) / pi() AS my FROM pts), "
+        f"f AS (SELECT {keep}, (0.5773502691896257 * mx - my / 3.0) * {scale!r} AS qf, "
+        f"(my * (2.0 / 3.0)) * {scale!r} AS rf FROM m), "
+        f"g AS (SELECT {keep}, qf, rf, -qf - rf AS sf FROM f), "
+        f"rnd AS (SELECT {keep}, qf, rf, sf, floor(qf + 0.5) AS rx, "
+        "floor(sf + 0.5) AS ry, floor(rf + 0.5) AS rz FROM g), "
+        f"ax AS (SELECT {keep}, "
+        "CAST(CASE WHEN abs(rx - qf) > abs(ry - sf) AND abs(rx - qf) > abs(rz - rf) "
+        "THEN -ry - rz ELSE rx END AS BIGINT) AS hq, "
+        "CAST(CASE WHEN NOT (abs(rx - qf) > abs(ry - sf) AND abs(rx - qf) > abs(rz - rf)) "
+        "AND NOT (abs(ry - sf) > abs(rz - rf)) THEN -rx - ry ELSE rz END AS BIGINT) AS hr "
+        "FROM rnd), "
+        f"hexed AS (SELECT {keep}, hq, hr, "
+        f"((hq + {off}) * {span} + (hr + {off})) * 32 + {res} AS hex_id FROM ax)"
+    )
+
+
+def q_hex_cell_agg(spark, sf_dir):
+    """Hexagonal G7 cell assignment + A1-shape per-cell agg: one Arrow
+    hop for the lattice coords, packed id + groupBy native."""
+    pts = _event_points(spark, sf_dir)
+    u = _hex_qr_udf(HEX_RES_AGG)
+    d = pts.withColumn("hx", u("lon", "lat")).select(
+        "event_id",
+        F.col("hx.hq").alias("hq"),
+        F.col("hx.hr").alias("hr"),
+    )
+    d = d.withColumn(
+        "hex_id", _hex_id_col(F.col("hq"), F.col("hr"), HEX_RES_AGG)
+    )
+    return d.groupBy("hex_id", "hq", "hr").agg(
+        F.count("*").alias("n_points"),
+        F.min("event_id").alias("min_event"),
+        F.max("event_id").alias("max_event"),
+    )
+
+
+def sql_hex_cell_agg():
+    return (
+        f"WITH pts AS ({EVENT_POINTS_SQL}), "
+        f"{_hex_sql_ctes(HEX_RES_AGG, 'event_id')} "
+        "SELECT hex_id, hq, hr, count(*) AS n_points, "
+        "min(event_id) AS min_event, max(event_id) AS max_event "
+        "FROM hexed GROUP BY 1, 2, 3"
+    )
+
+
+def q_hex_kring_agg(spark, sf_dir):
+    """Hex k-ring(1) neighborhood rollup — the join square rings can't
+    express (6 EQUIDISTANT neighbors): per occupied cell, the event
+    count summed over its filled 1-ring. Scatter form: each cell's
+    count explodes to its 7 ring members (the offset set is symmetric
+    under negation, so scatter ≡ gather) — a map-only explode of a
+    7-element literal array, then one (nq, nr) equi-join groupBy; at
+    100 TB both sides are the BOUNDED per-cell agg, never raw points."""
+    pts = _event_points(spark, sf_dir)
+    u = _hex_qr_udf(HEX_RES_RING)
+    cells = (
+        pts.withColumn("hx", u("lon", "lat"))
+        .groupBy(
+            F.col("hx.hq").alias("hq"), F.col("hx.hr").alias("hr")
+        )
+        .agg(F.count("*").alias("n_points"))
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dq).alias("dq"), F.lit(dr).alias("dr"))
+            for dq, dr in _HEX_K1
+        ]
+    )
+    contrib = cells.select(
+        "n_points", F.explode(offs).alias("o"), "hq", "hr"
+    ).select(
+        (F.col("hq") + F.col("o.dq")).alias("nq"),
+        (F.col("hr") + F.col("o.dr")).alias("nr"),
+        "n_points",
+    )
+    ring = contrib.groupBy("nq", "nr").agg(
+        F.sum("n_points").alias("ring_points")
+    )
+    out = cells.join(
+        ring,
+        (cells["hq"] == ring["nq"]) & (cells["hr"] == ring["nr"]),
+    )
+    return out.select(
+        _hex_id_col(F.col("hq"), F.col("hr"), HEX_RES_RING).alias("hex_id"),
+        "n_points",
+        "ring_points",
+    )
+
+
+def sql_hex_kring_agg():
+    off = 1 << (HEX_RES_RING + 1)
+    span = 1 << 28
+    values = ", ".join(f"({dq}, {dr})" for dq, dr in _HEX_K1)
+    return (
+        f"WITH pts AS ({EVENT_POINTS_SQL}), "
+        f"{_hex_sql_ctes(HEX_RES_RING, 'event_id')}, "
+        "c AS (SELECT hq, hr, count(*) AS n_points FROM hexed GROUP BY 1, 2), "
+        f"o(dq, dr) AS (VALUES {values}), "
+        "kg AS (SELECT c.hq + o.dq AS nq, c.hr + o.dr AS nr, c.n_points "
+        "FROM c CROSS JOIN o), "
+        "r AS (SELECT nq, nr, CAST(sum(n_points) AS BIGINT) AS ring_points "
+        "FROM kg GROUP BY 1, 2) "
+        f"SELECT ((c.hq + {off}) * {span} + (c.hr + {off})) * 32 + {HEX_RES_RING} AS hex_id, "
+        "c.n_points, r.ring_points "
+        "FROM c JOIN r ON c.hq = r.nq AND c.hr = r.nr"
+    )
+
+
 # ------------------------------------------------------------ text / dedup
 def q_dedup_exact(spark, sf_dir):
     return textops.dedup_exact(_t(spark, sf_dir, "documents"))
@@ -1881,6 +2048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_pip": q_geo_pip,
         "geo_knn_brute": q_geo_knn_brute,
         "geo_tile_bounds": q_geo_tile_bounds,
+        "hex_cell_agg": q_hex_cell_agg,
+        "hex_kring_agg": q_hex_kring_agg,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_signatures": q_minhash_signatures,
         "dedup_minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1932,6 +2101,8 @@ def oracle_sql() -> dict[str, str]:
         "geo_pip": sql_geo_pip(),
         "geo_knn_brute": sql_geo_knn_brute(),
         "geo_tile_bounds": sql_geo_tile_bounds(),
+        "hex_cell_agg": sql_hex_cell_agg(),
+        "hex_kring_agg": sql_hex_kring_agg(),
         "dedup_exact": sql_dedup_exact(),
         "dedup_minhash_signatures": sql_minhash_signatures(),
         "dedup_minhash_lsh_pairs": sql_minhash_lsh_pairs(),

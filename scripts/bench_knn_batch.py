@@ -14,6 +14,14 @@ triple a measurement whose run-to-run spread is far below the 4x
 signal). Probe counts 100k (the bench lane) and 1M (the Amdahl
 prediction point).
 
+Default protocol is COLD (the timed run includes the shuffle plan's
+first-exec cost — codegen, Arrow worker spin-up — because the 2k warm
+pass compiles only the broadcast plan); pass ``--steady`` to add one
+untimed FULL-batch pass first, measuring the marginal batch cost of a
+long-lived serving session (the protocol of BENCH/BASELINE.md's
+"best of 2 after warm-up" tables; the first-exec time is reported
+alongside as first_exec_sec).
+
 Prints one JSON line per (probes, cores) plus a summary; paste the
 table into BENCH/BASELINE.md "Bulk kNN serving" (this script does NOT
 rewrite the file — bench_scaling.py owns the top sections).
@@ -44,10 +52,24 @@ idx = ops.knn_index_load(spark, {idx_path!r})
 warm = spark.read.parquet({warm_path!r})
 ops.knn_join(None, warm, index=idx).count()  # untimed worker warm-up
 q = spark.read.parquet({q_path!r})
+cold = None
+if {full_warm}:
+    # steady-state protocol (matches BENCH/BASELINE.md "best of 2
+    # after warm-up"): one untimed FULL-batch pass first, so the timed
+    # run measures the marginal batch cost of a long-running server —
+    # the 2k warm above exercises the <=50k broadcast plan, NOT the
+    # shuffle plan a bulk batch compiles, so without this the timed
+    # run carries ~20 s of parallelism-independent first-exec cost
+    # (codegen + Arrow worker spin-up + shuffle-machinery init) that
+    # masquerades as serial fraction in the N->4N ratio.
+    t0 = time.time()
+    ops.knn_join(None, q, index=idx).count()
+    cold = round(time.time() - t0, 2)
 t0 = time.time()
 n = ops.knn_join(None, q, index=idx).count()
 dt = time.time() - t0
-print(json.dumps({{"cores": cores, "sec": round(dt, 2), "rows": int(n)}}))
+print(json.dumps({{"cores": cores, "sec": round(dt, 2), "rows": int(n),
+                   "first_exec_sec": cold}}))
 spark.stop()
 """
 
@@ -86,10 +108,13 @@ def ensure_fixtures(probe_counts: list[int]) -> tuple[str, str, dict]:
     return idx_path, warm_path, q_paths
 
 
-def run_at(cores: int, idx_path: str, warm_path: str, q_path: str) -> dict:
+def run_at(
+    cores: int, idx_path: str, warm_path: str, q_path: str,
+    full_warm: bool = False,
+) -> dict:
     code = RUN_SNIPPET.format(
         repo=REPO, cores=cores, idx_path=idx_path,
-        warm_path=warm_path, q_path=q_path,
+        warm_path=warm_path, q_path=q_path, full_warm=full_warm,
     )
     env = {**os.environ}
     # NOT 48g (bench_scaling.py's choice for its multi-GB cached
@@ -115,13 +140,18 @@ def run_at(cores: int, idx_path: str, warm_path: str, q_path: str) -> dict:
 
 
 def main():
-    probe_counts = [int(a) for a in sys.argv[1:]] or [100_000, 1_000_000]
+    args = sys.argv[1:]
+    full_warm = "--steady" in args
+    probe_counts = [int(a) for a in args if not a.startswith("-")] or [
+        100_000,
+        1_000_000,
+    ]
     idx_path, warm_path, q_paths = ensure_fixtures(probe_counts)
     summary = {}
     for n in probe_counts:
         res = {}
         for cores in (2, 8, 32):
-            r = run_at(cores, idx_path, warm_path, q_paths[n])
+            r = run_at(cores, idx_path, warm_path, q_paths[n], full_warm)
             r["probes_per_sec"] = round(n / r["sec"], 1)
             res[cores] = r
             print(json.dumps({"probes": n, **r}), flush=True)
