@@ -333,6 +333,10 @@ class KnnIndex:
     level: int
     cent: DataFrame  # (image_id, slon, slat, cell, scell)
     stats: DataFrame  # (cell, n_in_cell, cw, cs, ce, cn), checkpointed
+    # lazily-filled _cascade_prep result (bounded numpy rollups/CSRs
+    # for the in-kernel coarse cascade): repeated serve batches reuse
+    # one driver-side collect instead of re-aggregating per batch
+    prep: object | None = None
 
 
 KNN_STORE_LEVELS = 4  # scell keeps at most this many levels (<=256 regions)
@@ -594,6 +598,236 @@ def knn_index_load(spark, path: str) -> KnnIndex:
     return KnnIndex(level, cent, spark.read.parquet(f"{path}/stats{sfx}"))
 
 
+# ---- numpy twins of the cascade bound math (r6): the coarse cascade
+# stages moved from DataFrame cross-join + window-sort into ONE
+# Arrow-batched mapInPandas kernel (see knn_join docstring). The
+# formulas mirror _with_bounds / _cell_rect_cols op-for-op; pruning
+# EXACTNESS does not require bit-equality with the JVM versions (any
+# valid lower/upper bound preserves the R* guarantee — the margins
+# absorb ULP drift either way), but keeping them identical keeps the
+# pruning behavior comparable across paths.
+FINE_COLLECT_ROWS = 300_000  # cap for collecting fine stats driver-side
+CASCADE_STEP = 2  # in-kernel refinement step (4^2 = 16 children/parent)
+
+
+def _parent_np(cells: "np.ndarray", drop: int) -> "np.ndarray":
+    import numpy as np
+
+    x = cells >> np.int64(30)
+    y = cells - (x << np.int64(30))
+    return ((x >> np.int64(drop)) << np.int64(30)) + (y >> np.int64(drop))
+
+
+def _cell_rect_np(cells: "np.ndarray", level: int):
+    """(cw, cs, ce, cn) of packed keys at `level` (twin of
+    _cell_rect_cols, incl. the pole-stretched edge rows)."""
+    import math
+
+    import numpy as np
+
+    z2 = float(1 << level)
+    nm = (1 << level) - 1
+    x = (cells >> np.int64(30)).astype(np.float64)
+    y = (cells - ((cells >> np.int64(30)) << np.int64(30))).astype(np.float64)
+
+    def merc(yy):
+        return np.degrees(np.arctan(np.sinh(math.pi * (1.0 - 2.0 * yy / z2))))
+
+    cw = x / z2 * 360.0 - 180.0
+    ce = (x + 1.0) / z2 * 360.0 - 180.0
+    cs = np.where(y == nm, -90.0, merc(y + 1.0))
+    cn = np.where(y == 0, 90.0, merc(y))
+    return cw, cs, ce, cn
+
+
+def _bounds_np(lon, lat, cw, cs, ce, cn):
+    """(mind, maxd) twin of _with_bounds. np.fmin mirrors Spark
+    least()'s NaN-last ordering at the cos(Δλ)=0 stationary point (the
+    two edge-latitude candidates are always finite)."""
+    import numpy as np
+
+    def wrapdeg(a, b):
+        return np.abs((a - b + 540.0) % 360.0 - 180.0)
+
+    inside = (lon >= cw) & (lon <= ce)
+    dl = np.where(inside, 0.0, np.minimum(wrapdeg(lon, cw), wrapdeg(lon, ce)))
+    DL = np.radians(dl)
+    p1 = np.radians(lat)
+    s_r = np.radians(cs)
+    n_r = np.radians(cn)
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        phi_star = np.arctan(np.tan(p1) / np.cos(DL))
+    phi_c = np.maximum(np.minimum(phi_star, n_r), s_r)
+
+    def hav(pa_, pb_, dlam):
+        a = (
+            np.sin((pb_ - pa_) / 2.0) ** 2
+            + np.cos(pa_) * np.cos(pb_) * np.sin(dlam / 2.0) ** 2
+        )
+        return 2.0 * EARTH_R_M * np.arcsin(np.sqrt(np.minimum(a, 1.0)))
+
+    with np.errstate(invalid="ignore"):
+        mind_raw = np.fmin(
+            np.fmin(hav(p1, phi_c, DL), hav(p1, s_r, DL)), hav(p1, n_r, DL)
+        )
+    diam = EARTH_R_M * (n_r - s_r + np.radians(ce - cw))
+    return mind_raw * (1.0 - 1e-9) - 1e-3, mind_raw * (1.0 + 1e-9) + diam + 1e-3
+
+
+def _rstar_np(pid, mind, maxd, n, kreq_row):
+    """Surviving pair indices under the per-probe R* rule (twin of
+    _rstar_filter): order each probe's cells by maxd, R* = smallest
+    maxd whose running count reaches k, keep mind <= R* (all cells
+    kept when the corpus never reaches k — R* stays +inf)."""
+    import numpy as np
+
+    if len(pid) == 0:
+        return np.empty(0, dtype=np.int64)
+    order = np.lexsort((maxd, pid))
+    pid_s = pid[order]
+    maxd_s = maxd[order]
+    n_s = n[order]
+    new_seg = np.empty(len(pid_s), dtype=bool)
+    new_seg[0] = True
+    np.not_equal(pid_s[1:], pid_s[:-1], out=new_seg[1:])
+    seg_id = np.cumsum(new_seg) - 1
+    cum = np.cumsum(n_s)
+    starts = np.flatnonzero(new_seg)
+    seg_len = np.diff(np.r_[starts, len(pid_s)])
+    base = np.repeat(cum[starts] - n_s[starts], seg_len)
+    reach = (cum - base) >= kreq_row[order]
+    rstar_row = np.where(reach, maxd_s, np.inf)
+    rstar_seg = np.full(len(starts), np.inf)
+    np.minimum.at(rstar_seg, seg_id, rstar_row)
+    keep = mind[order] <= rstar_seg[seg_id]
+    return order[keep]
+
+
+def _ranges_gather(starts, ends):
+    """Vectorized concat of np.arange(s, e) ranges (CSR child gather)."""
+    import numpy as np
+
+    counts = ends - starts
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64), counts
+    rep_start = np.repeat(starts, counts)
+    rep_base = np.repeat(np.cumsum(counts) - counts, counts)
+    return rep_start + (np.arange(total, dtype=np.int64) - rep_base), counts
+
+
+def _cascade_prep(stats: DataFrame, level: int) -> dict:
+    """Driver-side prep for the in-kernel coarse cascade: ONE bounded
+    collect of the stats dim rolled to `cap` (cap = `level` itself when
+    the fine dim fits FINE_COLLECT_ROWS, else the 4^9-bounded level-9
+    rollup — at 100 TB the fine dim is corpus-sized and stays
+    distributed, the rollup is bounded BY CONSTRUCTION), then pure
+    numpy rollups/CSRs for every chain level. Returns plain arrays —
+    broadcast once per serve via sparkContext.broadcast."""
+    import numpy as np
+
+    n_stats = stats.count()
+    cap = level if n_stats <= FINE_COLLECT_ROWS else min(9, level)
+    if cap == level:
+        pdf = stats.select("cell", "n_in_cell").toPandas()
+        cells = pdf["cell"].to_numpy(np.int64)
+        ns = pdf["n_in_cell"].to_numpy(np.int64)
+    else:
+        pdf = (
+            stats.groupBy(
+                _parent_cell_col(F.col("cell"), level - cap).alias("cell")
+            )
+            .agg(F.sum("n_in_cell").alias("n"))
+            .toPandas()
+        )
+        cells = pdf["cell"].to_numpy(np.int64)
+        ns = pdf["n"].to_numpy(np.int64)
+    order = np.argsort(cells)
+    cells, ns = cells[order], ns[order]
+
+    chain = [cap]
+    while chain[0] - CASCADE_STEP >= KNN_MIN_LEVEL:
+        chain.insert(0, chain[0] - CASCADE_STEP)
+
+    levels: dict[int, tuple] = {cap: (cells, ns)}
+    for lv in reversed(chain[:-1]):
+        fcells, fns = levels[lv + CASCADE_STEP]
+        anc = _parent_np(fcells, CASCADE_STEP)
+        uniq, inv = np.unique(anc, return_inverse=True)
+        agg = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(agg, inv, fns)
+        levels[lv] = (uniq, agg)
+
+    steps = []  # per chain step i: CSR from chain[i] parents → chain[i+1]
+    for lc, lf in zip(chain[:-1], chain[1:]):
+        fcells, fns = levels[lf]
+        anc = _parent_np(fcells, lf - lc)
+        o = np.argsort(anc, kind="stable")
+        anc_s = anc[o]
+        uniq, starts = np.unique(anc_s, return_index=True)
+        ends = np.r_[starts[1:], len(anc_s)]
+        steps.append(
+            {
+                "parents": uniq,
+                "starts": starts.astype(np.int64),
+                "ends": ends.astype(np.int64),
+                "child_cells": fcells[o],
+                "child_n": fns[o],
+            }
+        )
+    return {"chain": chain, "cap": cap, "levels": levels, "steps": steps}
+
+
+def _make_cascade_prune(bc, out_cols: list[str]):
+    """mapInPandas closure running the WHOLE coarse cascade per probe
+    batch in numpy — no |probes| × |cells| table ever hits a shuffle.
+    Emits the surviving (probe, cell-at-cap) pairs (a few per probe)."""
+
+    def prune(batches):
+        import numpy as np
+        import pandas as pd
+
+        prep = bc.value
+        chain, steps = prep["chain"], prep["steps"]
+        cells0, n0 = prep["levels"][chain[0]]
+        for pdf in batches:
+            P = len(pdf)
+            if P == 0:
+                continue
+            lon = pdf["lon"].to_numpy(np.float64)
+            lat = pdf["lat"].to_numpy(np.float64)
+            kreq = pdf["k_req"].to_numpy(np.int64)
+            c0 = len(cells0)
+            pid = np.repeat(np.arange(P, dtype=np.int64), c0)
+            cell = np.tile(cells0, P)
+            nn = np.tile(n0, P)
+            for i, lv in enumerate(chain):
+                cw, cs, ce, cn = _cell_rect_np(cell, lv)
+                mind, maxd = _bounds_np(lon[pid], lat[pid], cw, cs, ce, cn)
+                keep = _rstar_np(pid, mind, maxd, nn, kreq[pid])
+                pid, cell = pid[keep], cell[keep]
+                if i == len(chain) - 1:
+                    break
+                st = steps[i]
+                pos = np.searchsorted(st["parents"], cell)
+                gat, counts = _ranges_gather(
+                    st["starts"][pos], st["ends"][pos]
+                )
+                pid = np.repeat(pid, counts)
+                cell = st["child_cells"][gat]
+                nn = st["child_n"][gat]
+            out = {
+                "query_id": pdf["query_id"].to_numpy()[pid],
+                "lon": lon[pid],
+                "lat": lat[pid],
+                "k_req": pdf["k_req"].to_numpy()[pid],
+                "cell": cell,
+            }
+            yield pd.DataFrame({c: out[c] for c in out_cols})
+
+    return prune
+
+
 def knn_join(
     scenes: DataFrame | None,
     queries: DataFrame,
@@ -637,11 +871,16 @@ def knn_join(
 
     Millimeter/1e-9-relative margins on both bounds absorb JVM-vs-numpy
     trig ULP drift, so the pruning never excludes a true neighbor.
-    Stage 2's |probes| × |cells| pair table is the scaling knob: at
-    level ≥ 7 the SAME pruning runs first over 4-level-coarser parent
-    regions (exact — parent rects contain their children and counts
-    aggregate), so each probe meets only the fine cells inside its
-    surviving regions instead of every nonempty cell.
+    Stage 2's |probes| × |cells| pair table is the scaling knob: the
+    SAME pruning runs as a coarse-to-fine walk (2-level steps from
+    level 3/4 down) INSIDE one Arrow-batched mapInPandas kernel over
+    bounded rollups of the stats dim — exact at every step (parent
+    rects contain their children and counts aggregate), and no
+    |probes| × |cells| table ever reaches a shuffle (r6; the r5
+    DataFrame-stage chain shuffled ~60 GB at 1M probes). The kernel
+    descends to `level` itself when the fine stats dim fits
+    FINE_COLLECT_ROWS, else to the 4^9-bounded level-9 rollup with a
+    distributed pcell equi-join refining the rest.
     """
     # element_at/slice ordinals must be INT (queries may carry k as long)
     kcol = (F.lit(k) if k is not None else F.col("k")).cast("int")
@@ -756,76 +995,91 @@ def knn_join(
             .select(*keep)
         )
 
-    # ---- coarse-to-fine prefilter CASCADE: the |probes| × |cells|
-    # pair table is the scaling knob, so the SAME pruning runs over a
-    # chain of 4-level-coarser ancestors first — exact at every stage
-    # (parent rects contain their children and counts aggregate, so a
-    # stage's R* keeps every region that could hold a top-k scene).
-    # r5 generalization from one coarse stage to a chain: with the
-    # occupancy-verified level pick (knn_index) the banding level for a
-    # dense 1M-scene corpus is 13, and a SINGLE level-7 prefilter would
-    # hand each probe thousands of fine cells; the chain keeps every
-    # stage's pair table at |probes| × (surviving parents × ≤4^4
-    # children).
-    COARSE_DROP = 4
-    _parent_col = _parent_cell_col
-
-    cascade: list[int] = []  # coarser levels, coarsest first
-    lv = level
-    while lv - COARSE_DROP >= KNN_MIN_LEVEL:
-        lv -= COARSE_DROP
-        cascade.append(lv)
-    cascade.reverse()
-
-    keep = ["query_id", "lon", "lat", "k_req"]
-    sel = q
-    prev: int | None = None  # level already applied to `sel` (as pcell)
-    for zc in cascade:
-        grp = [_parent_col(F.col("cell"), level - zc).alias("ccell")]
-        if prev is not None:
-            grp.append(
-                _parent_col(F.col("cell"), level - prev).alias("pcell")
-            )
-        coarse = (
-            stats.groupBy(*grp)
-            .agg(F.sum("n_in_cell").alias("n_in_cell"))
-            .select(
-                "ccell",
-                *(["pcell"] if prev is not None else []),
-                "n_in_cell",
-                *_cell_rect_cols("ccell", zc),
-            )
-        )
-        if prev is None:
-            # coarsest stage: plain cross against a provably tiny side
-            # (nonempty cells at level ≤ level-4·len(cascade))
-            pairs = _with_bounds(sel.join(F.broadcast(coarse)))
+    # ---- coarse-to-fine prefilter CASCADE, in-kernel (r6 rework of
+    # the r5 DataFrame chain): the |probes| × |cells| pair tables the
+    # cascade walks are the scaling knob, and as DataFrame stages each
+    # one paid a shuffle + window sort — ~700M rows / ~60 GB of
+    # shuffle at 1M probes × level-5 entry, measured as the lane's
+    # dominant cost and its N→4N efficiency ceiling. The coarse
+    # levels' rollups are BOUNDED BY CONSTRUCTION (≤ 4^9 rows at
+    # level ≤ 9, regardless of corpus size), so the entire coarse
+    # walk now runs inside ONE Arrow-batched mapInPandas kernel over
+    # the probe table: per 10k-probe batch, numpy computes the same
+    # rect bounds and per-probe R* rule level by level (2-level
+    # steps, 16 children/parent) and emits only the surviving
+    # (probe, cell) pairs — a few rows per probe, ZERO shuffles.
+    # Exactness is preserved: the bound formulas are twins of
+    # _with_bounds/_rstar_filter and any valid bounds keep the R*
+    # superset guarantee (final scoring is exact over candidates).
+    # When the FINE stats dim itself fits FINE_COLLECT_ROWS the
+    # kernel walks all the way to `level` and the scoring join
+    # consumes its output directly; on a corpus whose fine dim is too
+    # big to collect (the 100-TB case) the kernel stops at the
+    # 4^9-bounded level-9 rollup and the fine refinement stays a
+    # distributed equi-join on pcell — the unbounded side never
+    # leaves the cluster.
+    if level > KNN_MIN_LEVEL:
+        spark = queries.sparkSession
+        if index is not None and index.prep is not None:
+            prep, bc = index.prep
         else:
-            side = F.broadcast(coarse) if zc <= 9 else coarse
-            pairs = _with_bounds(sel.join(side, "pcell"))
-        sel = _rstar_filter(
-            pairs, "ccell", keep + ["ccell"]
-        ).withColumnRenamed("ccell", "pcell")
-        prev = zc
+            prep = _cascade_prep(stats, level)
+            bc = spark.sparkContext.broadcast(prep)
+            if index is not None:
+                # cache prep AND its broadcast: a long-lived serving
+                # session re-uses one executor-side copy across batches
+                index.prep = (prep, bc)
+        sel = q
+        if probe_rows > KNN_PROBE_BROADCAST_LIMIT:
+            # bulk batches arrive in however many files the producer
+            # wrote; the kernel is embarrassingly parallel over probes,
+            # so spread them (narrow rows — a tiny exchange)
+            sel = sel.repartition(spark.sparkContext.defaultParallelism)
+        from pyspark.sql import types as T
 
-    # final fine stage over `level` cells
-    if prev is None:
-        pairs = _with_bounds(sel.join(F.broadcast(stats)))
-    else:
-        stats_p = stats.withColumn(
-            "pcell", _parent_col(F.col("cell"), level - prev)
+        qf = {f.name: f.dataType for f in q.schema.fields}
+        out_schema = T.StructType(
+            [
+                T.StructField("query_id", qf["query_id"]),
+                T.StructField("lon", T.DoubleType()),
+                T.StructField("lat", T.DoubleType()),
+                T.StructField("k_req", qf["k_req"]),
+                T.StructField("cell", T.LongType()),
+            ]
         )
-        # broadcast the fine-level stats side only while its size is
-        # provably bounded (≤4^9 = 262k rows ≈ 10 MB): at a fine level
-        # over a dense global corpus (level 12 ⇒ up to 16M cells) a
-        # forced broadcast would OOM the driver, so there the hint is
-        # dropped — the R*-pruned candidate set is already small and
-        # AQE picks broadcast at runtime iff the stats actually fit.
-        stats_side = F.broadcast(stats_p) if level <= 9 else stats_p
-        pairs = _with_bounds(sel.join(stats_side, "pcell"))
-    cand = _rstar_filter(
-        pairs, "cell", ["query_id", "lon", "lat", "k_req", "cell"]
-    )
+        coarse_out = sel.mapInPandas(
+            _make_cascade_prune(
+                bc, ["query_id", "lon", "lat", "k_req", "cell"]
+            ),
+            schema=out_schema,
+        )
+        if prep["cap"] == level:
+            # k_req <= 0 probes can contribute no rows (rank <= 0 never
+            # holds) — drop them before the scoring join. Doubles as the
+            # selective predicate Spark's PartitionPruning rule needs on
+            # this side to insert the DPP subquery that prunes a stored
+            # index's scell partitions (mapInPandas output alone carries
+            # no Filter, so the rule would otherwise decline).
+            cand = coarse_out.filter(F.col("k_req") > 0)
+        else:
+            sel2 = coarse_out.withColumnRenamed("cell", "pcell")
+            stats_p = stats.withColumn(
+                "pcell", _parent_cell_col(F.col("cell"), level - prep["cap"])
+            )
+            # the stats side is corpus-sized here (that is WHY the
+            # kernel stopped at the rollup): no broadcast hint — AQE
+            # picks broadcast at runtime iff it actually fits
+            pairs = _with_bounds(sel2.join(stats_p, "pcell"))
+            cand = _rstar_filter(
+                pairs, "cell", ["query_id", "lon", "lat", "k_req", "cell"]
+            )
+    else:
+        # level ≤ KNN_MIN_LEVEL: ≤ 4^3 nonempty cells — one broadcast
+        # cross + R* filter is already minimal
+        pairs = _with_bounds(q.join(F.broadcast(stats)))
+        cand = _rstar_filter(
+            pairs, "cell", ["query_id", "lon", "lat", "k_req", "cell"]
+        )
 
     # ---- exact scoring over the pruned candidate cells ----
     # scell (a pure function of cell) rides along as a join key so a
