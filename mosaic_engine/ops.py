@@ -643,7 +643,20 @@ def _cell_rect_np(cells: "np.ndarray", level: int):
 def _bounds_np(lon, lat, cw, cs, ce, cn):
     """(mind, maxd) twin of _with_bounds. np.fmin mirrors Spark
     least()'s NaN-last ordering at the cos(Δλ)=0 stationary point (the
-    two edge-latitude candidates are always finite)."""
+    two edge-latitude candidates are always finite).
+
+    maxd is the EXACT max distance from the probe to any point of the
+    rect (r6; previously mind + a perimeter-sum "diameter", ~2× slack
+    at mid-latitudes): distance is monotone in Δλ ∈ [0, 180], so the
+    max sits at Δλ_max (180 when the probe's antimeridian falls inside
+    the cell, else the farther lon edge), and over φ the same
+    stationary-latitude family as the min — tan φ* = tan φ_p /
+    cos Δλ_max, clamped to the cell — but taking the MAX of the
+    stationary and the two edge-latitude candidates (np.fmax: NaN at
+    the cos Δλ_max = 0 pole sorts last, finite edges always present).
+    A tighter maxd shrinks R* and therefore every cascade level's
+    survivor set AND the scored candidate join — pruning stays exact
+    (maxd still upper-bounds every scene in the cell)."""
     import numpy as np
 
     def wrapdeg(a, b):
@@ -670,8 +683,25 @@ def _bounds_np(lon, lat, cw, cs, ce, cn):
         mind_raw = np.fmin(
             np.fmin(hav(p1, phi_c, DL), hav(p1, s_r, DL)), hav(p1, n_r, DL)
         )
-    diam = EARTH_R_M * (n_r - s_r + np.radians(ce - cw))
-    return mind_raw * (1.0 - 1e-9) - 1e-3, mind_raw * (1.0 + 1e-9) + diam + 1e-3
+    # probe antimeridian in [-180, 180): lon + 180 wrapped. A cell can
+    # hold it only strictly interior (no cell's interior crosses ±180);
+    # when it coincides with a cell EDGE the edge wrapdeg is 180
+    # anyway, so one representation suffices.
+    anti = (lon + 360.0) % 360.0 - 180.0
+    anti_in = (anti >= cw) & (anti <= ce)
+    dl_max = np.where(
+        anti_in, 180.0, np.maximum(wrapdeg(lon, cw), wrapdeg(lon, ce))
+    )
+    DLX = np.radians(dl_max)
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        phi_star_x = np.arctan(np.tan(p1) / np.cos(DLX))
+    phi_cx = np.maximum(np.minimum(phi_star_x, n_r), s_r)
+    with np.errstate(invalid="ignore"):
+        maxd_raw = np.fmax(
+            np.fmax(hav(p1, phi_cx, DLX), hav(p1, s_r, DLX)),
+            hav(p1, n_r, DLX),
+        )
+    return mind_raw * (1.0 - 1e-9) - 1e-3, maxd_raw * (1.0 + 1e-9) + 1e-3
 
 
 def _rstar_np(pid, mind, maxd, n, kreq_row):
@@ -963,12 +993,31 @@ def knn_join(
         mind_raw = F.least(
             _hav_m(p1, phi_c, DL), _hav_m(p1, s_r, DL), _hav_m(p1, n_r, DL)
         )
-        diam = EARTH_R_M * (
-            n_r - s_r + F.radians(F.col("ce") - F.col("cw"))
+        # exact max distance to the rect (r6, twin of _bounds_np —
+        # replaces the perimeter-sum diameter bound): monotone in Δλ,
+        # so evaluate at Δλ_max (180 when the probe's antimeridian sits
+        # inside the cell) over the max-stationary latitude and the two
+        # edges. greatest() sorts NaN last like least(), and the edge
+        # candidates are always finite.
+        anti = F.pmod(F.col("lon") + 360.0, F.lit(360.0)) - 180.0
+        anti_in = (anti >= F.col("cw")) & (anti <= F.col("ce"))
+        dl_max = F.when(anti_in, F.lit(180.0)).otherwise(
+            F.greatest(
+                _wrapdeg(F.col("lon"), F.col("cw")),
+                _wrapdeg(F.col("lon"), F.col("ce")),
+            )
+        )
+        DLX = F.radians(dl_max)
+        phi_star_x = F.atan(F.tan(p1) / F.cos(DLX))
+        phi_cx = F.greatest(F.least(phi_star_x, n_r), s_r)
+        maxd_raw = F.greatest(
+            _hav_m(p1, phi_cx, DLX),
+            _hav_m(p1, s_r, DLX),
+            _hav_m(p1, n_r, DLX),
         )
         return pairs.withColumn(
             "mind", mind_raw * (1.0 - 1e-9) - 1e-3
-        ).withColumn("maxd", mind_raw * (1.0 + 1e-9) + diam + 1e-3)
+        ).withColumn("maxd", maxd_raw * (1.0 + 1e-9) + 1e-3)
 
     def _rstar_filter(pairs: DataFrame, key: str, keep: list[str]) -> DataFrame:
         """Per-probe pruning radius R* (two windows over one partition —

@@ -277,6 +277,57 @@ def test_knn_pick_level_heuristic_shape():
     assert ops.knn_pick_level(0, 1) == 3            # empty corpus safe
 
 
+def test_knn_rect_bounds_bracket_sampled_distances():
+    """_bounds_np's (mind, maxd) must bracket the true min/max distance
+    from the probe to ANY point of the cell rect — the R* pruning rule
+    is exact only under that invariant. maxd is the r6 exact rect
+    maximum (Δλ_max + max-stationary latitude), replacing the slack
+    perimeter-sum diameter; adversarial probe modes: uniform, near the
+    cell's antipodal meridian (Δλ_max = 180 interior case), inside the
+    cell, and near-polar."""
+    from mosaic_engine.geometry import haversine_m
+
+    rng = np.random.default_rng(1234)
+    for trial in range(200):
+        level = int(rng.integers(1, 14))
+        z2 = 1 << level
+        x = int(rng.integers(0, z2))
+        y = int(rng.integers(0, z2))
+        cell = np.array([(x << 30) + y], dtype=np.int64)
+        cw, cs, ce, cn = ops._cell_rect_np(cell, level)
+        mode = trial % 4
+        if mode == 0:
+            lon = float(rng.uniform(-180, 180))
+            lat = float(rng.uniform(-89.9, 89.9))
+        elif mode == 1:
+            lon = float(
+                ((cw[0] + ce[0]) / 2 + 180 + rng.uniform(-2, 2) + 540)
+                % 360 - 180
+            )
+            lat = float(rng.uniform(-89.9, 89.9))
+        elif mode == 2:
+            lon = float(rng.uniform(cw[0], ce[0]))
+            lat = float(
+                rng.uniform(max(cs[0], -89.9), min(cn[0], 89.9))
+            )
+        else:
+            lon = float(rng.uniform(-180, 180))
+            lat = float(rng.choice([-89.95, 89.95]))
+        mind, maxd = ops._bounds_np(
+            np.array([lon]), np.array([lat]), cw, cs, ce, cn
+        )
+        gs = np.linspace(0, 1, 21)
+        GL, GP = np.meshgrid(
+            cw[0] + gs * (ce[0] - cw[0]), cs[0] + gs * (cn[0] - cs[0])
+        )
+        d = haversine_m(
+            np.full(GL.size, lon), np.full(GL.size, lat),
+            GL.ravel(), GP.ravel(),
+        )
+        assert mind[0] <= d.min() + 1e-6, (level, x, y, lon, lat)
+        assert maxd[0] >= d.max() - 1e-6, (level, x, y, lon, lat)
+
+
 def test_knn_index_reuse_matches_brute(spark, scenes_df):
     """A prebuilt knn_index serves multiple probe batches (the
     index-on-ingest / query-per-request pattern) with exact results."""
