@@ -85,13 +85,17 @@ def main():
         (
             "Cell-stats kNN (J3, one-pass exact pruning)",
             "Scene centroids key to codegen-native web-mercator cells; "
-            "the bounded per-cell stats dim (localCheckpointed once) "
-            "broadcasts under the probes; native trig computes provable "
-            "lower/upper distance bounds per (probe, cell); two windows "
-            "over one partition derive the per-probe pruning radius R*; "
-            "surviving candidates broadcast-join the scenes on the cell "
-            "key and the Arrow haversine scores only them. No "
-            "CartesianProduct, no iteration, nothing collected.",
+            "the bounded per-cell stats dim rolls up to coarse levels "
+            "and the whole coarse-to-fine cascade runs inside ONE "
+            "MapInPandas kernel over the probes (r6): numpy twins of "
+            "the exact rect min/max-distance bounds walk two levels per "
+            "step, derive the per-probe pruning radius R*, and emit "
+            "only surviving (probe, cell) pairs — no shuffle or window "
+            "per cascade level. Survivors equi-join the scenes on the "
+            "cell key (broadcast here; shuffle join past the probe "
+            "limit) and the fused Arrow haversine scorer bounds its "
+            "output at |probes|*k per task. No CartesianProduct, no "
+            "iteration, nothing collected.",
             formatted(knn),
         ),
         (
