@@ -198,11 +198,19 @@ def write_snapshot_manifest(spark: SparkSession, location: str) -> dict:
         stream.write(json.dumps(snap, sort_keys=True).encode())
     finally:
         stream.close()
-    fs.delete(jpath, False)
+    # rename FIRST (r6 review): on posix (RawLocalFileSystem) rename
+    # overwrites the destination atomically, so there is never a
+    # window with NO manifest on disk. Filesystems that refuse to
+    # rename over an existing file (HDFS) return false; only then
+    # fall back to delete+rename — that window is the API's floor,
+    # and read_snapshot_manifest treats absent/torn as degraded, not
+    # fatal.
     if not fs.rename(tmp, jpath):
-        raise IOError(
-            f"snapshot manifest commit failed: rename {tmp} -> {jpath}"
-        )
+        fs.delete(jpath, False)
+        if not fs.rename(tmp, jpath):
+            raise IOError(
+                f"snapshot manifest commit failed: rename {tmp} -> {jpath}"
+            )
     return snap
 
 
@@ -223,7 +231,8 @@ def read_snapshot_manifest(
     )
     if not fs.exists(jpath):
         return None
-    try:
+
+    def _read():
         stream = fs.open(jpath)
         try:
             text = jvm.org.apache.commons.io.IOUtils.toString(
@@ -232,11 +241,26 @@ def read_snapshot_manifest(
         finally:
             stream.close()
         return json.loads(text)
+
+    try:
+        return _read()
     except ValueError:
         return None  # torn JSON
     except Exception:
         # read-side corruption also surfaces as an IO error, not a
         # parse error — e.g. Hadoop's ChecksumFileSystem raising on a
-        # manifest truncated behind its .crc sidecar. The manifest is
-        # OPTIONAL evidence with a defined absent behavior; degrade.
-        return None
+        # manifest truncated behind its .crc sidecar. But an IO error
+        # may equally be TRANSIENT (object-store throttling, a network
+        # blip), and treating that as 'no manifest' makes
+        # write_table(mode='ignore') re-commit a fresh snapshot_id
+        # over a healthy manifest — silently invalidating every
+        # checkpoint whose lineage embeds the old id (r6 review). One
+        # retry separates the two: corruption fails identically twice;
+        # a blip usually doesn't. Still-failing reads degrade — the
+        # manifest is OPTIONAL evidence with a defined absent behavior.
+        try:
+            return _read()
+        except ValueError:
+            return None
+        except Exception:
+            return None

@@ -555,22 +555,31 @@ def _gc_superseded_generations(
     spark, path: str, prefixes: tuple[str, ...], live_gen: int
 ) -> None:
     """Best-effort post-commit GC shared by knn_index_save and
-    annops.ivf_index_save: once generation `live_gen` is meta-committed,
-    delete every other ``<pfx>_g<k>`` dir AND the bare legacy ``<pfx>``
-    dirs from the pre-generation layout (r6 advice — a migrated index
-    otherwise leaked its corpus-sized legacy dir forever). Readers
-    follow meta, so nothing here is load-bearing; failures are
+    annops.ivf_index_save: once generation `live_gen` is
+    meta-committed, delete every ``<pfx>_g<k>`` dir EXCEPT the live
+    one and its immediate predecessor, and the bare legacy ``<pfx>``
+    dirs from the pre-generation layout once a versioned predecessor
+    exists (r6 advice — a migrated index otherwise leaked its
+    corpus-sized legacy dir forever). Keeping exactly ONE superseded
+    generation (r6 review) is what makes the load-then-re-save flow
+    safe: ``save(load(path), path)`` writes the new generation by
+    lazily READING the old one, and the loaded index object keeps
+    serving from those old files afterwards — deleting them at commit
+    would break the live index the caller still holds. Growth stays
+    bounded at two generations; the next save retires the older one.
+    Readers follow meta, so nothing here is load-bearing; failures are
     swallowed and retried by the next save."""
     from .catalog import _fs_and_path
 
+    keep = {f"_g{live_gen}", f"_g{live_gen - 1}"}
     try:
         fs, jpath = _fs_and_path(spark, path)
         for st in fs.listStatus(jpath):
             name = st.getPath().getName()
             for pfx in prefixes:
-                if name == pfx or (
+                if (name == pfx and live_gen >= 1) or (
                     name.startswith(f"{pfx}_g")
-                    and name != f"{pfx}_g{live_gen}"
+                    and name[len(pfx):] not in keep
                 ):
                     fs.delete(st.getPath(), True)
     except Exception:
@@ -1072,6 +1081,11 @@ def knn_join(
         if index is not None and index.prep is not None:
             prep, bc = index.prep
         else:
+            # one-shot (no index) calls rebuild prep and register a
+            # fresh broadcast per call, reclaimed only when Python GC
+            # drops the result's references (PySpark's normal
+            # broadcast lifecycle) — repeated serving should pass a
+            # knn_index, which pins ONE prep+broadcast across batches
             prep = _cascade_prep(stats, level)
             bc = spark.sparkContext.broadcast(prep)
             if index is not None:

@@ -718,9 +718,25 @@ def run_incremental_dedup(
                 F.min("doc_id").alias("_new_min"),
             )
             if prev is not None:
-                prev_stats = prev.groupBy("band", "key").agg(
-                    F.count("*").alias("_prev_n"),
-                    F.min("doc_id").alias("_prev_root"),
+                # restrict prev to buckets this batch touches BEFORE
+                # aggregating (r6 review): the left join below would
+                # discard untouched buckets anyway, but aggregating
+                # first shuffles one row per DISTINCT HISTORICAL
+                # bucket per batch — O(corpus) per batch on a
+                # mostly-unique corpus, where map-side combine cannot
+                # reduce singleton buckets. The semi-join keys on the
+                # batch's bucket set (bounded by the micro-batch), so
+                # AQE plans it as a broadcast semi: prev is scanned
+                # and filtered map-side and only rows in touched
+                # buckets reach the aggregation shuffle.
+                touched = new_stats.select("band", "key")
+                prev_stats = (
+                    prev.join(touched, ["band", "key"], "leftsemi")
+                    .groupBy("band", "key")
+                    .agg(
+                        F.count("*").alias("_prev_n"),
+                        F.min("doc_id").alias("_prev_root"),
+                    )
                 )
                 stats = (
                     new_stats.join(prev_stats, ["band", "key"], "left")

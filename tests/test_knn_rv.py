@@ -590,10 +590,28 @@ def test_knn_index_save_generation_commit(spark, scenes_df, tmp_path):
     ops.knn_index_save(ops.knn_index(scenes_df, level=6), path)
     loaded1 = ops.knn_index_load(spark, path)
     assert loaded1.level == 6
-    # post-commit GC: only the live generation (+ meta) remains — the
-    # superseded g0 dirs, the crash-left partial stats_g1 (overwritten
-    # into the live gen), and the legacy bare dir are all gone
-    assert sorted(os.listdir(path)) == ["cent_g1", "meta", "stats_g1"]
+    # post-commit GC keeps live + immediate predecessor (r6 review:
+    # save(load(path), path) lazily READS the predecessor and the
+    # loaded index keeps serving from it — deleting it at commit
+    # would break the index the caller still holds); the legacy bare
+    # dir is retired once a versioned predecessor exists
+    assert sorted(os.listdir(path)) == [
+        "cent_g0", "cent_g1", "meta", "stats_g0", "stats_g1"
+    ]
+    # the index loaded BEFORE the re-save must still serve (its
+    # backing g0 files were kept)
+    assert ops.knn_join(
+        None,
+        spark.createDataFrame(
+            [(0, -120.0, 33.0, 2)], "query_id long, lon double, lat double, k int"
+        ),
+        index=loaded0,
+    ).count() == 2
+    # a third save retires g0: growth stays bounded at two generations
+    ops.knn_index_save(ops.knn_index(scenes_df, level=6), path)
+    assert sorted(os.listdir(path)) == [
+        "cent_g1", "cent_g2", "meta", "stats_g1", "stats_g2"
+    ]
     # served results match a fresh index at the same level
     queries = spark.createDataFrame(
         [(i, -120.0 + i, 33.0 + 0.5 * i, 3) for i in range(4)],
