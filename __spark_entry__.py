@@ -56,26 +56,39 @@ def _ship_package(spark: SparkSession) -> None:
     key = sc.applicationId  # unique per context (id() can be reused)
     if key in _SHIPPED:
         return
+    import hashlib
     import tempfile
     import zipfile
 
+    # the cache key is a CONTENT hash of the package sources, not the
+    # pid (r6 review): a recycled pid in a later process found the old
+    # process's zip by existence check and shipped STALE code to the
+    # workers after a source edit — same scheme as _mm_fixture_path
+    pkg = os.path.join(_REPO, "mosaic_engine")
+    srcs = sorted(
+        fn for fn in os.listdir(pkg) if fn.endswith(".py")
+    )
+    h = hashlib.sha256()
+    for fn in srcs:
+        with open(os.path.join(pkg, fn), "rb") as f:
+            h.update(fn.encode())
+            h.update(f.read())
     zpath = os.path.join(
-        tempfile.gettempdir(), f"mosaic_engine_pyfiles_{os.getpid()}.zip"
+        tempfile.gettempdir(),
+        f"mosaic_engine_pyfiles_{h.hexdigest()[:16]}.zip",
     )
     if not os.path.exists(zpath):
         # unique tmp + atomic rename (r4 review): a concurrent driver
         # thread must never addPyFile a partially-written zip
         import threading
 
-        pkg = os.path.join(_REPO, "mosaic_engine")
         tmp = f"{zpath}.{threading.get_ident()}.tmp"
         with zipfile.ZipFile(tmp, "w") as z:
-            for fn in sorted(os.listdir(pkg)):
-                if fn.endswith(".py"):
-                    z.write(
-                        os.path.join(pkg, fn),
-                        arcname=os.path.join("mosaic_engine", fn),
-                    )
+            for fn in srcs:
+                z.write(
+                    os.path.join(pkg, fn),
+                    arcname=os.path.join("mosaic_engine", fn),
+                )
         os.replace(tmp, zpath)
     try:
         sc.addPyFile(zpath)
@@ -398,13 +411,13 @@ def q_geo_pip(spark, sf_dir):
     def pip(px: pd.Series, py: pd.Series, x0: pd.Series, y0: pd.Series) -> pd.Series:
         x0v = x0.to_numpy(np.float64)
         y0v = y0.to_numpy(np.float64)
-        xs = [
-            np.array([x, x + 8.0, x + 9.5, x + 1.5, x]) for x in x0v
-        ]
-        ys = [
-            np.array([y, y, y + 6.0, y + 6.0, y]) for y in y0v
-        ]
-        RX, RY, nv = geo.pad_rings(xs, ys)
+        # rings built by broadcasting, not per-row list comps (r6
+        # review): all rings here are 5-vertex, so the padded matrices
+        # points_in_polys wants come straight from np.stack
+        RX = np.stack(
+            [x0v, x0v + 8.0, x0v + 9.5, x0v + 1.5, x0v], axis=1
+        )
+        RY = np.stack([y0v, y0v, y0v + 6.0, y0v + 6.0, y0v], axis=1)
         return pd.Series(
             geo.points_in_polys(px.to_numpy(np.float64), py.to_numpy(np.float64), RX, RY)
         )

@@ -181,16 +181,35 @@ def hex_kring_offsets(k: int) -> np.ndarray:
 def hex_kring(ids, k: int) -> np.ndarray:
     """(n, 3k(k+1)+1) packed ids of each cell's filled k-ring. All
     inputs must share one res (one ring table per res keeps the result
-    rectangular; mixed-res calls raise rather than mix lattices)."""
+    rectangular; mixed-res calls raise rather than mix lattices).
+
+    Ring members whose axial coords fall outside the packable range are
+    returned as -1 (r6 review): the id offset is 2^(res+1), so at LOW
+    res a modest k walks past it (res 0: any k >= 3 from an in-domain
+    cell) — raising there turned a legitimate query into a crash. Every
+    real packed id is >= 0, so -1 never matches in a join; semantically
+    those lattice positions are simply cells no corpus row can occupy.
+    (hex_pack itself still range-checks — encode paths keep failing
+    loud on genuine aliasing.)"""
     q, r, res = hex_unpack(ids)
     if res.size and (res != res.flat[0]).any():
         raise ValueError("hex_kring: mixed resolutions in one batch")
     res0 = int(res.flat[0]) if res.size else 0
     off = hex_kring_offsets(k)
-    nq = q.reshape(-1, 1) + off[:, 0][None, :]
-    nr = r.reshape(-1, 1) + off[:, 1][None, :]
+    nq = (q.reshape(-1, 1) + off[:, 0][None, :]).ravel()
+    nr = (r.reshape(-1, 1) + off[:, 1][None, :]).ravel()
     n = q.shape[0] if q.ndim else 1
-    return hex_pack(nq.ravel(), nr.ravel(), res0).reshape(n, off.shape[0])
+    o = np.int64(1) << np.int64(res0 + 1)
+    qo, ro = nq + o, nr + o
+    ok = (qo >= 0) & (qo < _QR_SPAN) & (ro >= 0) & (ro < _QR_SPAN)
+    packed = np.where(
+        ok,
+        (np.where(ok, qo, 0) * _QR_SPAN + np.where(ok, ro, 0))
+        * np.int64(32)
+        + np.int64(res0),
+        np.int64(-1),
+    )
+    return packed.reshape(n, off.shape[0])
 
 
 def hex_distance(ids_a, ids_b) -> np.ndarray:

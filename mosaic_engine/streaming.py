@@ -349,7 +349,7 @@ def _sources_log_covers(
     lineage evidence that THIS checkpoint assigned the folded batches
     from this work_dir's input (see the adoption guard)."""
     import json as _json
-    from urllib.parse import urlparse
+    from urllib.parse import unquote, urlparse
 
     sdir = os.path.join(work_dir, "_chk", "sources", "0")
     root = fs.canonical(scenes_dir)
@@ -414,7 +414,12 @@ def _sources_log_covers(
             # Hadoop/object-store keys, never os.sep-dependent).
             root_is_uri = "://" in root or root.startswith("file:")
             if ("://" in p or p.startswith("file:")) and not root_is_uri:
-                p = urlparse(p).path
+                # unquote AFTER extracting the path (r6 review): Spark
+                # percent-encodes the recorded URI ('my scenes' →
+                # 'my%20scenes'), and comparing the encoded form to the
+                # raw filesystem root made adoption always refuse for
+                # any input dir with a URI-escapable character
+                p = unquote(urlparse(p).path)
             if not fs.canonical(p).startswith(root.rstrip("/") + "/"):
                 return False
     return True
@@ -477,23 +482,40 @@ def _batch_dirs(work_dir: str, fs: StorageClient = LOCAL_FS) -> list[str]:
     return _named_batch_dirs(os.path.join(work_dir, "tiles_log"), fs)
 
 
+def _manifest_chk_id(
+    work_dir: str, man: dict, fs: StorageClient
+) -> str | None:
+    """The chk_id to stamp into a compaction manifest. The recorded id
+    binds the folded-batch set to the offset log that NAMED those ids;
+    adopting the current _chk's id is only legitimate when none was
+    recorded yet. Overwriting a mismatched one (r6 review — the old
+    `current or recorded` expression did exactly that) would launder an
+    impostor checkpoint past run_incremental's replay guard: fold under
+    query A, recreate _chk as query B, compact → manifest says B, the
+    next run passes the guard and silently drops replayed input under
+    recycled folded ids. Mismatch is therefore a refusal, same as the
+    run-side guard."""
+    qid = _chk_query_id(work_dir, fs)
+    if man["chk_id"] is None:
+        return qid
+    if qid is not None and qid != man["chk_id"]:
+        raise ValueError(
+            f"work_dir {work_dir} has folded batches recorded under "
+            f"streaming query {man['chk_id']} but its _chk now belongs "
+            f"to query {qid} — compacting would bind the folded ids to "
+            "the wrong offset log and let a replay be silently "
+            "dropped. Restore the original _chk or start a fresh "
+            "work_dir."
+        )
+    return man["chk_id"]
+
+
 def _tiles_paths(work_dir: str, fs: StorageClient = LOCAL_FS) -> list[str]:
     """Live tiles-log data as resolved through the manifest: the
     current compacted generation (if any) plus every batch partition
-    not folded into it. Stale dirs from crashed/committed compactions
-    are simply never listed here."""
-    man = _read_manifest(work_dir, fs)
-    paths: list[str] = []
-    if man["gen"] is not None:
-        paths.append(
-            os.path.join(work_dir, "tiles_compacted", f"gen={man['gen']}")
-        )
-    folded = set(man["folded"])
-    tiles_dir = os.path.join(work_dir, "tiles_log")
-    for d in _batch_dirs(work_dir, fs):
-        if int(d.split("=", 1)[1]) not in folded:
-            paths.append(os.path.join(tiles_dir, d))
-    return paths
+    not folded into it. Delegates to _log_paths so the mosaic and
+    dedup read paths share ONE resolution rule (r6 review)."""
+    return _log_paths(work_dir, "tiles", fs)
 
 
 def compact_tiles_log(
@@ -562,7 +584,7 @@ def compact_tiles_log(
             "gen": new_gen,
             "folded": sorted(new_folded),
             # bind the folded set to the offset log that named the ids
-            "chk_id": _chk_query_id(work_dir, fs) or man["chk_id"],
+            "chk_id": _manifest_chk_id(work_dir, man, fs),
         },
         fs,
     )
@@ -655,6 +677,24 @@ def run_incremental_dedup(
     fs = fs or LOCAL_FS
     fs.makedirs(work_dir)
     _check_input_dir(work_dir, docs_dir, fs)
+    # the band state and pairs log are max_bucket-specific (r6 review,
+    # the dedup twin of _check_config_hash): batches appended under a
+    # different cap mix guard regimes — the accumulated pairs would be
+    # batch-equivalent to NO single one-shot semantics, with no error.
+    # Recorded on first use; later mismatch fails loud.
+    cap_file = os.path.join(work_dir, "dedup_config")
+    cap = f"max_bucket={max_bucket}"
+    if fs.exists(cap_file):
+        prev = fs.read_text(cap_file).strip()
+        if prev != cap:
+            raise ValueError(
+                f"work_dir {work_dir} was built with {prev}; current "
+                f"run passes {cap} — mixing mega-bucket guard regimes "
+                "across batches breaks the pairs log's equivalence "
+                "contract. Use a fresh work_dir."
+            )
+    else:
+        fs.write_text_atomic(cap_file, cap)
     man = _read_manifest(work_dir, fs)
     if man["folded"]:
         # the same silent-skip hazard run_incremental guards (r5
@@ -889,9 +929,14 @@ def compact_dedup_logs(
     # done while redelivery still owes it, silently losing every pair
     # whose later member arrived in that batch. One-sided/uncommitted
     # dirs are left for the redelivered batch to overwrite-complete.
+    # minus already-folded ids (r6 review): best-effort GC can leave a
+    # folded dir behind (delete_tree swallows errors), and re-folding
+    # it would duplicate its rows into the new generation next to the
+    # previous gen that already holds them — inflating star-guard
+    # cumulative counts and breaking the pairs log's distinctness.
     complete = (
         _ids("bands") & _ids("pairs") & _committed_batches(work_dir, fs)
-    )
+    ) - folded
     new_gen = 0 if man["gen"] is None else man["gen"] + 1
     folded_now = 0
     for log in ("bands", "pairs"):
@@ -920,7 +965,7 @@ def compact_dedup_logs(
         {
             "gen": new_gen,
             "folded": sorted(new_folded),
-            "chk_id": _chk_query_id(work_dir, fs) or man["chk_id"],
+            "chk_id": _manifest_chk_id(work_dir, man, fs),
         },
         fs,
     )
@@ -1068,7 +1113,14 @@ def run_streaming_sessions(
         reader.parquet(events_dir)
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)
-        .select("user_id", "ts", "value")
+        # epoch computed JVM-side (r6 review): Arrow hands the pandas
+        # kernel ts as NAIVE datetimes in the SESSION timezone, so a
+        # datetime64→int64 cast there is off by the tz offset whenever
+        # spark.sql.session.timeZone is not UTC — while
+        # getCurrentWatermarkMs() is true UTC epoch. Comparing the two
+        # closed sessions hours early (split sessions, double emit).
+        # unix_timestamp() is true epoch by definition, at any tz.
+        .select("user_id", "ts", F.unix_timestamp("ts").alias("ep"), "value")
     )
 
     def fn(key, pdfs, state: GroupState):
@@ -1082,11 +1134,7 @@ def run_streaming_sessions(
         if not state.hasTimedOut:
             for rows in pdfs:
                 if len(rows):
-                    e = (
-                        rows["ts"].to_numpy("datetime64[ns]").astype("int64")
-                        // 10**9
-                    )
-                    eps.extend(e.tolist())
+                    eps.extend(int(e) for e in rows["ep"])
                     vals.extend(float(v) for v in rows["value"])
         order = sorted(range(len(eps)), key=lambda i: eps[i])
         eps = [eps[i] for i in order]

@@ -214,3 +214,30 @@ def test_distance_triangle_and_symmetry():
     assert (dab <= hx.hex_distance(a, c) + hx.hex_distance(c, b)).all()
     with pytest.raises(ValueError, match="mismatch"):
         hx.hex_distance(a, hx.hex_encode(lons[:100], lats[:100], 7))
+
+
+def test_kring_past_packable_range_yields_sentinels():
+    """(r6 review) At low res the id offset 2^(res+1) is small enough
+    that a modest k walks past it — those ring members come back as -1
+    (never matches a real id in a join) instead of raising; in-range
+    members are exact."""
+    ids = hx.hex_encode(np.array([0.0]), np.array([0.0]), 0)
+    ring = hx.hex_kring(ids, 3)
+    assert ring.shape == (1, 3 * 3 * 4 + 1)
+    sent = ring == -1
+    assert sent.any() and not sent.all()
+    # every in-range member round-trips through pack/unpack exactly
+    q, r, res = hx.hex_unpack(ring[~sent])
+    assert (hx.hex_pack(q, r, 0) == ring[~sent]).all()
+    assert (res == 0).all()
+    # a high-res ring is sentinel-free and matches the offsets table
+    ids2 = hx.hex_encode(np.array([12.3, -77.0]), np.array([45.6, 2.0]), 9)
+    ring2 = hx.hex_kring(ids2, 2)
+    off = hx.hex_kring_offsets(2)
+    q2, r2, _ = hx.hex_unpack(ids2)
+    want = hx.hex_pack(
+        (q2[:, None] + off[:, 0]).ravel(),
+        (r2[:, None] + off[:, 1]).ravel(),
+        9,
+    ).reshape(2, off.shape[0])
+    assert (ring2 >= 0).all() and (ring2 == want).all()

@@ -847,3 +847,85 @@ def test_compaction_skips_uncommitted_batches(spark, tmp_path):
     man = streaming._read_manifest(work)
     assert 9 not in man["folded"] and {0, 1} <= set(man["folded"])
     assert os.path.isdir(os.path.join(work, "tiles_log", "batch_id=9"))
+
+
+def test_compactor_refuses_mismatched_chk_id(tmp_path):
+    """(r6 review) The compaction manifest must never overwrite a
+    recorded chk_id with a different current _chk's id — that would
+    launder an impostor checkpoint past run_incremental's replay guard
+    and let replayed input be silently dropped under recycled folded
+    ids. Mismatch refuses; adoption is only legal when no id was
+    recorded; an absent _chk keeps the recorded id."""
+    import json
+
+    import pytest
+
+    work = str(tmp_path / "work")
+    chk = os.path.join(work, "_chk")
+    os.makedirs(chk)
+
+    def set_qid(qid):
+        with open(os.path.join(chk, "metadata"), "w") as f:
+            json.dump({"id": qid}, f)
+
+    # recorded id matches current -> kept
+    set_qid("qA")
+    assert streaming._manifest_chk_id(
+        work, {"chk_id": "qA"}, streaming.LOCAL_FS
+    ) == "qA"
+    # nothing recorded yet -> adopt the observed id
+    assert streaming._manifest_chk_id(
+        work, {"chk_id": None}, streaming.LOCAL_FS
+    ) == "qA"
+    # recorded id, _chk gone -> recorded id survives
+    os.remove(os.path.join(chk, "metadata"))
+    assert streaming._manifest_chk_id(
+        work, {"chk_id": "qA"}, streaming.LOCAL_FS
+    ) == "qA"
+    # recorded id, DIFFERENT current query -> refuse, never overwrite
+    set_qid("imposter")
+    with pytest.raises(ValueError, match="wrong offset log"):
+        streaming._manifest_chk_id(work, {"chk_id": "qA"}, streaming.LOCAL_FS)
+
+
+def test_sources_log_covers_unquotes_uris(tmp_path):
+    """(r6 review) Spark percent-encodes recorded source URIs; the
+    adoption check must compare the DECODED path or an input dir with
+    any URI-escapable character is always refused."""
+    import json
+
+    scenes = str(tmp_path / "my scenes")
+    os.makedirs(scenes)
+    work = str(tmp_path / "work")
+    sdir = os.path.join(work, "_chk", "sources", "0")
+    os.makedirs(sdir)
+    rec = json.dumps(
+        {
+            "path": "file:" + scenes.replace(" ", "%20") + "/p1.parquet",
+            "batchId": 0,
+        }
+    )
+    with open(os.path.join(sdir, "0"), "w") as f:
+        f.write("v1\n" + rec + "\n")
+    assert streaming._sources_log_covers(work, [0], scenes)
+
+
+def test_incremental_dedup_refuses_max_bucket_drift(spark, tmp_path):
+    """(r6 review) Re-invoking a dedup work_dir with a different
+    max_bucket mixes guard regimes — the accumulated pairs log would be
+    equivalent to NO single one-shot semantics. Recorded on first use,
+    mismatch fails loud."""
+    import pyarrow.parquet as pq
+    import pytest
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    sdir = str(tmp_path / "docs")
+    os.makedirs(sdir)
+    work = str(tmp_path / "work")
+    datagen.write_parquet(t.slice(0, 100), os.path.join(sdir, "p1.parquet"))
+    streaming.run_incremental_dedup(spark, sdir, work)  # default cap
+    datagen.write_parquet(t.slice(100, 100), os.path.join(sdir, "p2.parquet"))
+    with pytest.raises(ValueError, match="guard regimes"):
+        streaming.run_incremental_dedup(spark, sdir, work, max_bucket=None)
+    # same cap → proceeds
+    assert streaming.run_incremental_dedup(spark, sdir, work) == 1
