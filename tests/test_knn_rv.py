@@ -8,7 +8,7 @@ import numpy as np
 import pyarrow.parquet as pq
 import pytest
 
-from mosaic_engine import cells, ops
+from mosaic_engine import cells, datagen, ops
 from tests import oracle
 
 
@@ -634,3 +634,37 @@ def test_knn_join_accepts_non_long_query_ids(spark, scenes_df):
     got = sorted(map(tuple, ops.knn_join(scenes_df, queries, level=5).collect()))
     want = sorted(map(tuple, ops.knn_bruteforce(scenes_df, queries).collect()))
     assert [g[:3] for g in got] == [w[:3] for w in want] and len(got) == 4
+
+
+@pytest.mark.parametrize("corpus_seed,hotspot", [(7, 0.0), (19, 0.6), (31, 0.95)])
+def test_knn_random_corpora_match_brute(spark, tmp_path, corpus_seed, hotspot):
+    """(r6) Randomized-CORPUS equivalence: the existing random-probe
+    sweep pins one fixture corpus, but the occupancy walk and the
+    in-kernel cascade take different paths per spatial distribution
+    (uniform vs hotspot-heavy changes the picked level, the rollup
+    shapes, and which cascade stages prune). Three corpora spanning
+    hotspot fractions must serve identically to brute at the
+    auto-picked level, payload-free for speed."""
+    from pyspark.sql import Row
+
+    t = datagen.gen_scenes(
+        n_scenes=2500, paths=8, rows=8, seed=corpus_seed,
+        payload=False, hotspot_frac=hotspot,
+    )
+    p = str(tmp_path / f"scenes_{corpus_seed}.parquet")
+    datagen.write_parquet(t, p)
+    scenes = spark.read.parquet(p)
+    rng = np.random.default_rng(1000 + corpus_seed)
+    n = 40
+    lons = rng.uniform(-180.0, 180.0, n)
+    lats = rng.uniform(-88.0, 88.0, n)
+    ks = rng.integers(1, 6, n)
+    queries = spark.createDataFrame(
+        [Row(query_id=i, lon=float(lons[i]), lat=float(lats[i]), k=int(ks[i]))
+         for i in range(n)]
+    )
+    exp = sorted(map(tuple, ops.knn_bruteforce(scenes, queries).collect()))
+    got = sorted(map(tuple, ops.knn_join(scenes, queries).collect()))
+    assert [g[:3] for g in got] == [e[:3] for e in exp]
+    for g, e in zip(got, exp):
+        assert g[3] == pytest.approx(e[3], rel=1e-12)
