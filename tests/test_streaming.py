@@ -929,3 +929,41 @@ def test_incremental_dedup_refuses_max_bucket_drift(spark, tmp_path):
         streaming.run_incremental_dedup(spark, sdir, work, max_bucket=None)
     # same cap → proceeds
     assert streaming.run_incremental_dedup(spark, sdir, work) == 1
+
+
+def test_streaming_sessions_tz_invariant_structure(spark, tmp_path):
+    """(r6 review) The session kernel's close decisions must not depend
+    on spark.sql.session.timeZone: epochs are computed JVM-side
+    (unix_timestamp) so they stay true epoch while the watermark is
+    true epoch — before the fix a non-UTC tz shifted the pandas-side
+    epochs but not the watermark, closing sessions hours early. The
+    events fixture carries NTZ timestamps, so a non-UTC tz legitimately
+    shifts every ABSOLUTE session_start by one uniform offset (cast
+    semantics); membership, counts, and sums must be identical."""
+    import shutil
+
+    ev_dir = str(tmp_path / "events")
+    os.makedirs(ev_dir)
+    shutil.copy(
+        "/root/testdata/sf0.001/events.parquet",
+        os.path.join(ev_dir, "p1.parquet"),
+    )
+    a = sorted(
+        map(tuple, streaming.run_streaming_sessions(
+            spark, ev_dir, str(tmp_path / "out_utc")).collect())
+    )
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        b = sorted(
+            map(tuple, streaming.run_streaming_sessions(
+                spark, ev_dir, str(tmp_path / "out_la")).collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert len(a) == len(b) > 0
+    shifts = {bb[1] - aa[1] for aa, bb in zip(a, b)}
+    assert len(shifts) == 1  # ONE uniform cast offset, no split sessions
+    assert all(
+        aa[0] == bb[0] and aa[2] == bb[2] and abs(aa[3] - bb[3]) < 1e-9
+        for aa, bb in zip(a, b)
+    )
