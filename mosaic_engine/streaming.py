@@ -613,6 +613,52 @@ def _named_batch_dirs(
     )
 
 
+def _cumulative_bucket_stats(nb, prev):
+    """Per-(band,key) cumulative bucket stats for the incremental star
+    guard: one row per bucket TOUCHED BY THIS BATCH with `_total` =
+    persisted prev count + batch count and `_root` = smallest
+    previously-persisted doc_id (batch min for a bucket born
+    overflowing). prev is restricted to batch-touched buckets BEFORE
+    aggregating (r6 review): the left join would discard untouched
+    buckets anyway, but aggregating first shuffles one row per
+    DISTINCT HISTORICAL bucket per batch — O(corpus) per batch on a
+    mostly-unique corpus, where map-side combine cannot reduce
+    singleton buckets. The semi-join keys on the batch's bucket set
+    (bounded by the micro-batch), so AQE plans it as a BROADCAST semi
+    (plan-asserted in test_streaming) and prev is scanned and filtered
+    map-side; only rows in touched buckets reach the aggregation
+    shuffle. Factored out of the foreachBatch handle so the plan shape
+    is testable."""
+    from pyspark.sql import functions as F
+
+    new_stats = nb.groupBy("band", "key").agg(
+        F.count("*").alias("_new_n"),
+        F.min("doc_id").alias("_new_min"),
+    )
+    if prev is None:
+        return new_stats.withColumn("_total", F.col("_new_n")).withColumn(
+            "_root", F.col("_new_min")
+        )
+    touched = new_stats.select("band", "key")
+    prev_stats = (
+        prev.join(touched, ["band", "key"], "leftsemi")
+        .groupBy("band", "key")
+        .agg(
+            F.count("*").alias("_prev_n"),
+            F.min("doc_id").alias("_prev_root"),
+        )
+    )
+    return (
+        new_stats.join(prev_stats, ["band", "key"], "left")
+        .withColumn(
+            "_total", F.coalesce("_prev_n", F.lit(0)) + F.col("_new_n")
+        )
+        # root = smallest previously-persisted doc_id; a bucket born
+        # overflowing stars on the batch min
+        .withColumn("_root", F.coalesce("_prev_root", "_new_min"))
+    )
+
+
 def run_incremental_dedup(
     spark: SparkSession,
     docs_dir: str,
@@ -753,48 +799,7 @@ def run_incremental_dedup(
             # are deterministic under foreachBatch redelivery: they
             # derive only from state persisted BEFORE this batch id
             # plus the batch content itself.
-            new_stats = nb.groupBy("band", "key").agg(
-                F.count("*").alias("_new_n"),
-                F.min("doc_id").alias("_new_min"),
-            )
-            if prev is not None:
-                # restrict prev to buckets this batch touches BEFORE
-                # aggregating (r6 review): the left join below would
-                # discard untouched buckets anyway, but aggregating
-                # first shuffles one row per DISTINCT HISTORICAL
-                # bucket per batch — O(corpus) per batch on a
-                # mostly-unique corpus, where map-side combine cannot
-                # reduce singleton buckets. The semi-join keys on the
-                # batch's bucket set (bounded by the micro-batch), so
-                # AQE plans it as a broadcast semi: prev is scanned
-                # and filtered map-side and only rows in touched
-                # buckets reach the aggregation shuffle.
-                touched = new_stats.select("band", "key")
-                prev_stats = (
-                    prev.join(touched, ["band", "key"], "leftsemi")
-                    .groupBy("band", "key")
-                    .agg(
-                        F.count("*").alias("_prev_n"),
-                        F.min("doc_id").alias("_prev_root"),
-                    )
-                )
-                stats = (
-                    new_stats.join(prev_stats, ["band", "key"], "left")
-                    .withColumn(
-                        "_total",
-                        F.coalesce("_prev_n", F.lit(0)) + F.col("_new_n"),
-                    )
-                    # root = smallest previously-persisted doc_id; a
-                    # bucket born overflowing stars on the batch min
-                    .withColumn(
-                        "_root", F.coalesce("_prev_root", "_new_min")
-                    )
-                )
-            else:
-                stats = new_stats.withColumn(
-                    "_total", F.col("_new_n")
-                ).withColumn("_root", F.col("_new_min"))
-            stats = stats.select(
+            stats = _cumulative_bucket_stats(nb, prev).select(
                 "band", "key", "_total", "_root"
             ).localCheckpoint(eager=True)
             ok = stats.filter(F.col("_total") <= max_bucket).select(

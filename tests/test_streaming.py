@@ -967,3 +967,42 @@ def test_streaming_sessions_tz_invariant_structure(spark, tmp_path):
         aa[0] == bb[0] and aa[2] == bb[2] and abs(aa[3] - bb[3]) < 1e-9
         for aa, bb in zip(a, b)
     )
+
+
+def test_bucket_stats_semi_join_broadcasts_and_is_exact(spark, tmp_path):
+    """(r6 review) The star guard's stats pass must (a) compute exact
+    cumulative totals/roots and (b) reach the persisted band state
+    through a BROADCAST left-semi on the batch's bucket set — a
+    shuffle there would move one row per historical bucket per batch,
+    O(corpus) on mostly-unique corpora."""
+    nb = spark.createDataFrame(
+        [(0, 11, 100), (0, 11, 101), (0, 22, 102), (1, 33, 100)],
+        "band int, key long, doc_id long",
+    )
+    prev_rows = [(0, 11, d) for d in range(5)] + [(0, 99, 7), (1, 44, 8)]
+    prev_path = str(tmp_path / "prev.parquet")
+    spark.createDataFrame(
+        prev_rows, "band int, key long, doc_id long"
+    ).write.parquet(prev_path)
+    prev = spark.read.parquet(prev_path)
+
+    stats = streaming._cumulative_bucket_stats(nb, prev)
+    got = {
+        (r["band"], r["key"]): (r["_total"], r["_root"])
+        for r in stats.collect()
+    }
+    # touched buckets only; untouched prev buckets (0,99)/(1,44) absent
+    assert got == {
+        (0, 11): (7, 0),    # 5 persisted + 2 new, root = prev min 0
+        (0, 22): (1, 102),  # born this batch, root = batch min
+        (1, 33): (1, 100),
+    }
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+    # no prev state: totals are the batch's own counts
+    got0 = {
+        (r["band"], r["key"]): (r["_total"], r["_root"])
+        for r in streaming._cumulative_bucket_stats(nb, None).collect()
+    }
+    assert got0 == {(0, 11): (2, 100), (0, 22): (1, 102), (1, 33): (1, 100)}
