@@ -55,6 +55,19 @@ def main():
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     ivf = annops.ivf_topk(emb, n_queries=10, k=5, n_probe=2)
 
+    from mosaic_engine import streaming, textops as _to
+
+    # incremental star-guard stats pass: batch bands vs a persisted
+    # parquet band state (the shape each micro-batch executes)
+    prev_path = "/tmp/plans_bands_prev.parquet"
+    if not os.path.exists(prev_path):
+        _to.minhash_banded(docs).write.parquet(prev_path)
+    inc_stats = streaming._cumulative_bucket_stats(
+        _to.minhash_banded(docs.limit(40)),
+        spark.read.parquet(prev_path),
+    )
+    inc_stats.count()  # executed plan: AQE's final join strategy
+
     sections = [
         (
             "Filtered scan (F1–F5)",
@@ -97,6 +110,19 @@ def main():
             "output at |probes|*k per task. No CartesianProduct, no "
             "iteration, nothing collected.",
             formatted(knn),
+        ),
+        (
+            "Incremental dedup star-guard stats (per micro-batch)",
+            "The cumulative bucket-stats pass of the streamed dedup "
+            "lane (streaming._cumulative_bucket_stats): the persisted "
+            "band state is reached through a BROADCAST left-semi on "
+            "the batch's own bucket set, so the corpus-sized side is "
+            "scanned and filtered map-side and only rows in "
+            "batch-touched buckets enter the aggregation shuffle — "
+            "per-batch stats work stays O(batch) as history grows "
+            "(measured flat in BENCH/BASELINE.md 'Incremental "
+            "dedup'). Plan below is the AQE-final executed plan.",
+            inc_stats._jdf.queryExecution().executedPlan().toString(),
         ),
         (
             "MinHash-LSH candidate pairs (dedup lane)",
