@@ -609,14 +609,24 @@ def knn_index_load(spark, path: str) -> KnnIndex:
 
 # ---- numpy twins of the cascade bound math (r6): the coarse cascade
 # stages moved from DataFrame cross-join + window-sort into ONE
-# Arrow-batched mapInPandas kernel (see knn_join docstring). The
-# formulas mirror _with_bounds / _cell_rect_cols op-for-op; pruning
-# EXACTNESS does not require bit-equality with the JVM versions (any
-# valid lower/upper bound preserves the R* guarantee — the margins
-# absorb ULP drift either way), but keeping them identical keeps the
-# pruning behavior comparable across paths.
+# Arrow-batched mapInPandas kernel (see knn_join docstring).
+# _cell_rect_np/_bounds_np mirror _with_bounds/_cell_rect_cols
+# op-for-op (they remain the meter-space oracle the bracket pytest
+# checks); the kernel itself runs the r7 fast path (_bounds_fast_np):
+# identical mathematical bounds in haversine-argument space over
+# per-cell precomputed trig. Pruning EXACTNESS does not require
+# bit-equality between any of these (any valid lower/upper bound
+# preserves the R* guarantee — the margins absorb FP drift either
+# way).
 FINE_COLLECT_ROWS = 300_000  # cap for collecting fine stats driver-side
-CASCADE_STEP = 2  # in-kernel refinement step (4^2 = 16 children/parent)
+# in-kernel refinement step: 1 level (4 children/parent). r6 used 2
+# (16 children); the 16× expansion made the mid-chain pair tables the
+# kernel's peak cost (1.03M pairs at level 7 from 79k level-5
+# survivors on the 1M-scene bench corpus) — single-level steps keep
+# every intermediate table ≤ 4× the survivor set and measured the
+# whole kernel at 6.8 s vs 10.3 s single-core per 100k probes,
+# identical survivors out.
+CASCADE_STEP = 1
 
 
 def _parent_np(cells: "np.ndarray", drop: int) -> "np.ndarray":
@@ -711,6 +721,114 @@ def _bounds_np(lon, lat, cw, cs, ce, cn):
             hav(p1, n_r, DLX),
         )
     return mind_raw * (1.0 - 1e-9) - 1e-3, maxd_raw * (1.0 + 1e-9) + 1e-3
+
+
+def _cell_attrs_np(cells: "np.ndarray", level: int):
+    """Per-cell trig attributes for the fast a-space bounds
+    (_bounds_fast_np): lon edges in degrees plus sin/cos of the
+    latitude edges. Computed ONCE per unique cell in _cascade_prep —
+    the r6 kernel recomputed the rect AND ~40 transcendentals per
+    (probe, cell) PAIR per level, measured as ~85% of the kernel's
+    13.4 s single-core wall at 100k probes."""
+    import numpy as np
+
+    cw, cs, ce, cn = _cell_rect_np(cells, level)
+    s_r = np.radians(cs)
+    n_r = np.radians(cn)
+    return (
+        cw,
+        ce,
+        np.sin(s_r),
+        np.cos(s_r),
+        np.sin(n_r),
+        np.cos(n_r),
+    )
+
+
+def _bounds_fast_np(lon, lat, sin_p, cos_p, tan_p, attrs):
+    """(a_lo, a_hi) bounds in HAVERSINE-ARGUMENT space (the monotone
+    a = sin²(Δφ/2) + cosφ₁cosφ₂sin²(Δλ/2) of the great-circle
+    distance) — the same mathematical min/max rect bounds as
+    _bounds_np, reformulated so the per-pair work is two sin() calls
+    plus algebra over per-cell/per-probe precomputed trig:
+
+      * sin²(Δφ/2) = (1 − (cosφ₁cosφ₂ + sinφ₁sinφ₂))/2 — products of
+        precomputed values, no per-pair transcendental;
+      * the stationary latitude φ* = atan(tanφ_p / cosΔλ) enters only
+        through sin φ*/cos φ*, computed algebraically as
+        (u·sign(c)/√(c²+u²), |c|/√(c²+u²)) with u = tanφ_p, c = cosΔλ
+        (and cosΔλ = 1 − 2sin²(Δλ/2) from the one sin already taken);
+        clamping to the cell's latitude band compares in sin space
+        (monotone on [-π/2, π/2]);
+      * cosΔλ == 0.0 exactly (possible here because 1 − 2sin² CAN
+        round to zero, unlike np.cos near π/2) is nudged to +5e-324 so
+        the stationary candidate degrades to the ±π/2 edge clamp
+        instead of a NaN that silently drops a REQUIRED candidate.
+
+    The R* rule is monotone-invariant, so pruning runs directly on a.
+    Margins: computing a accumulates ≲1e-15 absolute FP error (the
+    cancellation in (1−cosΔφ)/2 is bounded by the term errors, not
+    amplified), so 1e-9 relative + 1e-14 absolute keeps ≥10× slack —
+    a_lo never exceeds the true min, a_hi never undercuts the true
+    max, which is all R* exactness needs (bit-equality with the JVM
+    twin was never required; any valid bracket preserves the
+    superset)."""
+    import numpy as np
+
+    cw, ce, sin_s, cos_s, sin_n, cos_n = attrs
+
+    def wrapdeg(a, b):
+        return np.abs((a - b + 540.0) % 360.0 - 180.0)
+
+    def stationary(c):
+        # sin/cos of atan(tan_p / c), division-robust (see docstring)
+        c2 = np.where(c == 0.0, 5e-324, c)
+        h = np.sqrt(c2 * c2 + tan_p * tan_p)
+        sgn = np.where(c2 > 0.0, 1.0, -1.0)
+        return (tan_p / h) * sgn, np.abs(c2) / h
+
+    def cand_a(sin_c, cos_c, t2):
+        return (1.0 - (cos_c * cos_p + sin_c * sin_p)) / 2.0 + (
+            cos_p * cos_c
+        ) * t2
+
+    def three_min(t2):
+        c = 1.0 - 2.0 * t2
+        sin_st, cos_st = stationary(c)
+        sin_cl = np.minimum(np.maximum(sin_st, sin_s), sin_n)
+        cos_cl = np.where(
+            sin_st < sin_s, cos_s, np.where(sin_st > sin_n, cos_n, cos_st)
+        )
+        return np.fmin(
+            np.fmin(cand_a(sin_cl, cos_cl, t2), cand_a(sin_s, cos_s, t2)),
+            cand_a(sin_n, cos_n, t2),
+        )
+
+    def three_max(t2):
+        c = 1.0 - 2.0 * t2
+        sin_st, cos_st = stationary(c)
+        sin_cl = np.minimum(np.maximum(sin_st, sin_s), sin_n)
+        cos_cl = np.where(
+            sin_st < sin_s, cos_s, np.where(sin_st > sin_n, cos_n, cos_st)
+        )
+        return np.fmax(
+            np.fmax(cand_a(sin_cl, cos_cl, t2), cand_a(sin_s, cos_s, t2)),
+            cand_a(sin_n, cos_n, t2),
+        )
+
+    inside = (lon >= cw) & (lon <= ce)
+    dl = np.where(inside, 0.0, np.minimum(wrapdeg(lon, cw), wrapdeg(lon, ce)))
+    sdl = np.sin(np.radians(dl) / 2.0)
+    a_min = three_min(sdl * sdl)
+
+    anti = (lon + 360.0) % 360.0 - 180.0
+    anti_in = (anti >= cw) & (anti <= ce)
+    dl_max = np.where(
+        anti_in, 180.0, np.maximum(wrapdeg(lon, cw), wrapdeg(lon, ce))
+    )
+    sdlx = np.sin(np.radians(dl_max) / 2.0)
+    a_max = three_max(sdlx * sdlx)
+    return a_min * (1.0 - 1e-9) - 1e-14, a_max * (1.0 + 1e-9) + 1e-14
 
 
 def _rstar_np(pid, mind, maxd, n, kreq_row):
@@ -812,9 +930,21 @@ def _cascade_prep(stats: DataFrame, level: int) -> dict:
                 "ends": ends.astype(np.int64),
                 "child_cells": fcells[o],
                 "child_n": fns[o],
+                # per-cell trig for the fast bounds, aligned with
+                # child_cells (precomputed once here instead of ~40
+                # transcendentals per pair in the kernel)
+                "child_attrs": _cell_attrs_np(fcells[o], lf),
             }
         )
-    return {"chain": chain, "cap": cap, "levels": levels, "steps": steps}
+    # entry-level attrs (steps carry the rest)
+    entry_attrs = _cell_attrs_np(levels[chain[0]][0], chain[0])
+    return {
+        "chain": chain,
+        "cap": cap,
+        "levels": levels,
+        "steps": steps,
+        "entry_attrs": entry_attrs,
+    }
 
 
 def _make_cascade_prune(bc, out_cols: list[str]):
@@ -829,6 +959,7 @@ def _make_cascade_prune(bc, out_cols: list[str]):
         prep = bc.value
         chain, steps = prep["chain"], prep["steps"]
         cells0, n0 = prep["levels"][chain[0]]
+        attrs0 = prep["entry_attrs"]
         for pdf in batches:
             P = len(pdf)
             if P == 0:
@@ -836,14 +967,23 @@ def _make_cascade_prune(bc, out_cols: list[str]):
             lon = pdf["lon"].to_numpy(np.float64)
             lat = pdf["lat"].to_numpy(np.float64)
             kreq = pdf["k_req"].to_numpy(np.int64)
+            # per-probe trig, computed once per batch (tan via the
+            # quotient so no extra transcendental)
+            p1 = np.radians(lat)
+            sin_pb, cos_pb = np.sin(p1), np.cos(p1)
+            tan_pb = sin_pb / cos_pb
             c0 = len(cells0)
             pid = np.repeat(np.arange(P, dtype=np.int64), c0)
             cell = np.tile(cells0, P)
             nn = np.tile(n0, P)
+            # per-pair gathered cell attrs (entry: tiled level arrays)
+            attrs = tuple(np.tile(a, P) for a in attrs0)
             for i, lv in enumerate(chain):
-                cw, cs, ce, cn = _cell_rect_np(cell, lv)
-                mind, maxd = _bounds_np(lon[pid], lat[pid], cw, cs, ce, cn)
-                keep = _rstar_np(pid, mind, maxd, nn, kreq[pid])
+                a_lo, a_hi = _bounds_fast_np(
+                    lon[pid], lat[pid],
+                    sin_pb[pid], cos_pb[pid], tan_pb[pid], attrs,
+                )
+                keep = _rstar_np(pid, a_lo, a_hi, nn, kreq[pid])
                 pid, cell = pid[keep], cell[keep]
                 if i == len(chain) - 1:
                     break
@@ -855,6 +995,7 @@ def _make_cascade_prune(bc, out_cols: list[str]):
                 pid = np.repeat(pid, counts)
                 cell = st["child_cells"][gat]
                 nn = st["child_n"][gat]
+                attrs = tuple(a[gat] for a in st["child_attrs"])
             out = {
                 "query_id": pdf["query_id"].to_numpy()[pid],
                 "lon": lon[pid],
@@ -865,6 +1006,168 @@ def _make_cascade_prune(bc, out_cols: list[str]):
             yield pd.DataFrame({c: out[c] for c in out_cols})
 
     return prune
+
+
+def _rank_keep_mask(qid, dist, gk):
+    """Boolean keep-mask of rows whose distance min-rank within their
+    query group is < gk (a scalar, or a per-ROW k array — the union
+    kernel passes each row's own k_req, which keeps strictly fewer
+    rows than the global max k), ties at the boundary ALL retained — a
+    provable SUPERSET of the exact per-query top-k, computed with one
+    numeric lexsort (object qid arrays sort fine, just slower). Shared
+    by the small-batch _score_partial combiner and the bulk
+    union-score kernel so the tie convention can never desynchronize."""
+    import numpy as np
+
+    n = len(qid)
+    order = np.lexsort((dist, qid))
+    qs, ds = qid[order], dist[order]
+    pos = np.arange(n)
+    grp_start = np.empty(n, dtype=bool)
+    grp_start[0] = True
+    np.not_equal(qs[1:], qs[:-1], out=grp_start[1:])
+    grp_first = np.maximum.accumulate(np.where(grp_start, pos, 0))
+    run_start = grp_start.copy()
+    run_start[1:] |= ds[1:] != ds[:-1]
+    run_first = np.maximum.accumulate(np.where(run_start, pos, 0))
+    rank_min = run_first - grp_first
+    gk_sorted = gk[order] if isinstance(gk, np.ndarray) else gk
+    keep_sorted = rank_min < gk_sorted
+    keep = np.empty(n, dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+# expansion chunk for the union-score kernel: bound the in-flight
+# (pair-expanded) arrays per task regardless of how many candidate
+# rows a partition holds
+UNION_SCORE_CHUNK = 4_000_000
+# the union-score exchange hashes on the PARENT cell this many levels
+# up (4^2 = 16 sibling cells per key): a probe's ~7 surviving cells
+# are spatially adjacent, so under parent hashing they land in 1-2
+# partitions instead of ~7 — the per-task rank<k combiner then emits
+# ~k rows per (query, partition) instead of k per scattered cell
+# (measured 5.7M → the final aggregation's input at 100k probes under
+# plain cell hashing). Two levels keeps the key space large (the
+# level-11 rollup of a 1M-scene corpus has ~2.5k nonempty parents —
+# 20-100× the partition count, guide §2.5) so hashing stays even.
+UNION_SCORE_PARENT_DROP = 2
+
+
+def _make_union_score(gk: int):
+    """mapInArrow closure for knn_join's bulk scoring path: one
+    cell-hashed partition holds BOTH the corpus members (side=0: cell,
+    image_id, slon, slat) and the probe candidates (side=1: cell,
+    query_id, plon, plat, k_req) for its cells; the kernel equi-joins
+    them in numpy (sort members by cell + searchsorted ranges), scores
+    with the identical haversine kernel the brute oracle path uses,
+    and emits only the per-task rank<gk superset — the JVM boundary
+    carries each input row once instead of the joined blow-up, and the
+    final exact aggregation receives ≤ queries-in-task × gk rows.
+    Pair expansion runs in bounded chunks with the same
+    doubling-compaction idea as _score_partial."""
+
+    def score(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from . import geometry as geo
+
+        mem_parts: list = []
+        prb_parts: list = []
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([rb])
+            side = tbl.column("side")
+            is_mem = pc.equal(side, 0)
+            mem_parts.append(
+                tbl.filter(is_mem).select(
+                    ["cell", "image_id", "slon", "slat"]
+                )
+            )
+            prb_parts.append(
+                tbl.filter(pc.invert(is_mem)).select(
+                    ["cell", "query_id", "plon", "plat", "k_req"]
+                )
+            )
+        if not mem_parts:
+            return
+        m = pa.concat_tables(mem_parts)
+        p = pa.concat_tables(prb_parts)
+        if m.num_rows == 0 or p.num_rows == 0:
+            return
+        mc = m.column("cell").to_numpy(zero_copy_only=False)
+        order_m = np.argsort(mc, kind="stable")
+        mc_s = mc[order_m]
+        mlon = m.column("slon").to_numpy(zero_copy_only=False)[order_m]
+        mlat = m.column("slat").to_numpy(zero_copy_only=False)[order_m]
+        pcell = p.column("cell").to_numpy(zero_copy_only=False)
+        plon = p.column("plon").to_numpy(zero_copy_only=False)
+        plat = p.column("plat").to_numpy(zero_copy_only=False)
+        qid = p.column("query_id").to_numpy(zero_copy_only=False)
+        kreq = p.column("k_req").to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(mc_s, pcell, "left")
+        hi = np.searchsorted(mc_s, pcell, "right")
+        counts = hi - lo
+        # chunk probe rows so Σ counts per chunk stays bounded
+        cum = np.cumsum(counts)
+        acc: list = []
+        rows = 0
+        last = 0
+        start = 0
+        nprb = len(pcell)
+        while start < nprb:
+            end = int(
+                np.searchsorted(cum, (cum[start - 1] if start else 0)
+                                + UNION_SCORE_CHUNK, "left")
+            ) + 1
+            end = min(max(end, start + 1), nprb)
+            gat, cnt = _ranges_gather(lo[start:end], hi[start:end])
+            if len(gat):
+                rep = np.repeat(np.arange(start, end), cnt)
+                dist = geo.haversine_m(
+                    plon[rep], plat[rep], mlon[gat], mlat[gat]
+                )
+                img_idx = order_m[gat]
+                acc.append(
+                    pa.table(
+                        {
+                            "query_id": pa.array(qid[rep]).cast(
+                                p.schema.field("query_id").type
+                            ),
+                            "k_req": pa.array(kreq[rep]).cast(
+                                p.schema.field("k_req").type
+                            ),
+                            "image_id": m.column("image_id").take(
+                                pa.array(img_idx)
+                            ),
+                            "dist_m": pa.array(dist, pa.float64()),
+                        }
+                    )
+                )
+                rows += len(gat)
+                if rows >= max(UNION_SCORE_CHUNK, 2 * last) and len(acc) > 1:
+                    t = pa.concat_tables(acc)
+                    keep = _rank_keep_mask(
+                        t.column("query_id").to_numpy(zero_copy_only=False),
+                        t.column("dist_m").to_numpy(zero_copy_only=False),
+                        t.column("k_req").to_numpy(zero_copy_only=False),
+                    )
+                    acc = [t.filter(pa.array(keep))]
+                    last = rows = acc[0].num_rows
+            start = end
+        if acc:
+            t = pa.concat_tables(acc)
+            keep = _rank_keep_mask(
+                t.column("query_id").to_numpy(zero_copy_only=False),
+                t.column("dist_m").to_numpy(zero_copy_only=False),
+                t.column("k_req").to_numpy(zero_copy_only=False),
+            )
+            yield from t.filter(pa.array(keep)).to_batches()
+
+    return score
 
 
 def knn_join(
@@ -1149,6 +1452,98 @@ def knn_join(
     # partitioned on-disk index (knn_index_save) gets dynamic partition
     # pruning: only the storage regions holding candidate cells are read
     cand = cand.withColumn("scell", _storage_cell_col(F.col("cell"), level))
+    from pyspark.sql import types as T
+
+    if probe_rows > KNN_PROBE_BROADCAST_LIMIT:
+        # ---- bulk scoring, union-kernel form (r7, guide §8/§4) ----
+        # The r6 bulk plan materialized the (candidate cell × cell
+        # members) join in the JVM and shipped the BLOWN-UP output
+        # through Arrow to the scoring kernel: at 100k probes that is
+        # 15.5M rows (~155 per probe) and the boundary transfer alone
+        # measured 5.5-7.2 s of the 12 s lane — by far its largest
+        # cost, and it scales with |probes| × neighborhood size. The
+        # decisions only need each side ONCE (guide §8: move
+        # lightweight rows, attach the payload exactly once), so the
+        # bulk path now ships the two INPUT tables — corpus members
+        # (one row per scene: cell, image_id, slon, slat) and probe
+        # candidates (one row per surviving (probe, cell) pair) —
+        # through one hash exchange on cell into a mapInArrow kernel
+        # that equi-joins and scores them in numpy. Boundary rows drop
+        # from |join output| to |members| + |candidates| (15.5M → 1.7M
+        # at 100k probes / 1M scenes), and the per-task rank-min
+        # combiner sees each cell's full population co-located, so its
+        # output is ≤ queries-in-task × gk instead of ~1 row/query/task
+        # (the round-robin-cached corpus scattered every cell across
+        # all tasks and made the combiner a no-op — measured as a
+        # 15.5M-struct exchange into the final aggregation).
+        # No scell pruning here (deliberate): deriving the touched
+        # region set would re-run the cascade kernel or materialize
+        # cand, and a cluster-scale probe batch touches nearly every
+        # storage region by nature; the small-batch branch below keeps
+        # the DPP-pruned join for selective serving.
+        qf2 = {f.name: f.dataType for f in q.schema.fields}
+        sc_fields = {f.name: f.dataType for f in sc.schema.fields}
+        members = sc.select(
+            "cell",
+            "image_id",
+            "slon",
+            "slat",
+            F.lit(None).cast(qf2["query_id"]).alias("query_id"),
+            F.lit(None).cast("double").alias("plon"),
+            F.lit(None).cast("double").alias("plat"),
+            F.lit(None).cast(qf2["k_req"]).alias("k_req"),
+            F.lit(0).cast("tinyint").alias("side"),
+        )
+        probes_u = cand.select(
+            "cell",
+            F.lit(None).cast(sc_fields["image_id"]).alias("image_id"),
+            F.lit(None).cast("double").alias("slon"),
+            F.lit(None).cast("double").alias("slat"),
+            "query_id",
+            F.col("lon").alias("plon"),
+            F.col("lat").alias("plat"),
+            "k_req",
+            F.lit(1).cast("tinyint").alias("side"),
+        )
+        # keyless-column repartition: partition count comes from
+        # spark.sql.shuffle.partitions (scale it with the cluster, not
+        # a constant), and AQE may coalesce small outputs
+        both = members.unionByName(probes_u).repartition(
+            _parent_cell_col(F.col("cell"), UNION_SCORE_PARENT_DROP)
+        )
+        pruned = both.mapInArrow(
+            _make_union_score(gk),
+            schema=T.StructType(
+                [
+                    T.StructField("query_id", qf2["query_id"]),
+                    T.StructField("k_req", qf2["k_req"]),
+                    T.StructField("image_id", sc_fields["image_id"]),
+                    T.StructField("dist_m", T.DoubleType()),
+                ]
+            ),
+        )
+        if os.environ.get("MOSAIC_KNN_DEBUG"):
+            _KNN_DEBUG.update(cand=cand, joined=both, pruned=pruned)
+        topk = pruned.groupBy("query_id").agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(F.col("dist_m"), F.col("image_id"))
+                    )
+                ),
+                1,
+                F.max("k_req"),
+            ).alias("nn")
+        )
+        return topk.select(
+            "query_id", F.posexplode("nn").alias("pos", "nn")
+        ).select(
+            "query_id",
+            (F.col("pos") + 1).cast("int").alias("rank"),
+            F.col("nn.image_id").alias("image_id"),
+            F.col("nn.dist_m").alias("dist_m"),
+        )
+
     joined = sc.join(probe_bcast(cand), ["scell", "cell"])
     if os.environ.get("MOSAIC_KNN_DEBUG"):
         _KNN_DEBUG.update(cand=cand, joined=joined)
@@ -1181,30 +1576,16 @@ def knn_join(
         def rank_min_keep(tbl: "pa.Table") -> "pa.Table":
             # keep every row whose distance ranks ≤ gk within its query
             # (ties at the boundary ALL retained) — a provable SUPERSET
-            # of the exact top-gk, computed with one numeric lexsort:
-            # no pandas frames and no Python string materialization
-            # ever touch the multi-million-row stream (image_id stays
-            # an Arrow buffer end to end); the final JVM aggregation
-            # applies the exact (dist_m, image_id) total order to the
-            # tiny superset
-            qid = tbl.column("query_id").to_numpy(zero_copy_only=False)
-            dist = tbl.column("dist_m").to_numpy(zero_copy_only=False)
-            n = len(qid)
-            order = np.lexsort((dist, qid))
-            qs, ds = qid[order], dist[order]
-            pos = np.arange(n)
-            grp_start = np.empty(n, dtype=bool)
-            grp_start[0] = True
-            np.not_equal(qs[1:], qs[:-1], out=grp_start[1:])
-            grp_first = np.maximum.accumulate(np.where(grp_start, pos, 0))
-            run_start = grp_start.copy()
-            run_start[1:] |= ds[1:] != ds[:-1]
-            run_first = np.maximum.accumulate(np.where(run_start, pos, 0))
-            # 0-based min-rank of each row within its query group
-            rank_min = run_first - grp_first
-            keep_sorted = rank_min < gk
-            keep = np.empty(n, dtype=bool)
-            keep[order] = keep_sorted
+            # of the exact top-gk (see _rank_keep_mask): no pandas
+            # frames and no Python string materialization ever touch
+            # the multi-million-row stream (image_id stays an Arrow
+            # buffer end to end); the final JVM aggregation applies the
+            # exact (dist_m, image_id) total order to the tiny superset
+            keep = _rank_keep_mask(
+                tbl.column("query_id").to_numpy(zero_copy_only=False),
+                tbl.column("dist_m").to_numpy(zero_copy_only=False),
+                gk,
+            )
             return tbl.filter(pa.array(keep))
 
         # bounded-memory accumulation (a hot task can stream tens of

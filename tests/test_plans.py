@@ -218,10 +218,14 @@ def test_ann_topk_tail_is_salted(spark):
 
 
 def test_knn_probe_broadcast_flips_at_scale(spark, scenes_df, fixture_dir, monkeypatch):
-    """(VERDICT r4 #5) The scoring join force-broadcasts the pruned
-    probe×cell table only while the probe batch is bounded; past
-    KNN_PROBE_BROADCAST_LIMIT the hint must drop (shuffle equi-join) —
-    and the results must be identical either way."""
+    """(VERDICT r4 #5, reworked r7) While the probe batch is bounded
+    the scoring join force-broadcasts the pruned probe×cell table
+    (DPP-prunable against a stored index); past
+    KNN_PROBE_BROADCAST_LIMIT the JVM join is replaced outright by the
+    union-score kernel — members and candidates meet through ONE hash
+    exchange into a MapInArrow stage, so no join (and no joined-row
+    blow-up) ever crosses the Python boundary — and the results must
+    be identical either way."""
     import os
 
     queries = spark.read.parquet(
@@ -244,14 +248,16 @@ def test_knn_probe_broadcast_flips_at_scale(spark, scenes_df, fixture_dir, monke
         big = ops.knn_join(None, queries, index=idx)
         plan_big = _plan(big)
         assert "CartesianProduct" not in plan_big
-        # the scoring join on (scell, cell) is no longer broadcast
+        # bulk scoring: no JVM join at all — one union feeding one
+        # exchange feeding the in-kernel join+score MapInArrow stage
+        assert "MapInArrow" in plan_big, plan_big
         joins = [
             ln
             for ln in plan_big.splitlines()
-            if "Join" in ln and "scell" in ln
+            if ("Join" in ln and "MapInArrow" not in ln) or "Cartesian" in ln
         ]
-        assert joins, plan_big
-        assert all("Broadcast" not in ln for ln in joins), plan_big
+        assert not joins, plan_big
+        assert "Union" in plan_big, plan_big
         # identical output under either plan
         a = sorted(map(tuple, small.collect()))
         b = sorted(map(tuple, big.collect()))
