@@ -462,23 +462,27 @@ def sql_geo_pip():
 def q_geo_knn_brute(spark, sf_dir):
     """J3 exact kNN: 3 nearest customer points per supplier point.
 
-    Uses the engine's codegen haversine expression (ops.haversine_expr)
-    — the JVM-side fast path; the Arrow-UDF kernel variant is exercised
-    by ops.knn_bruteforce/knn_join in the pytest suite."""
+    Still deliberately BRUTE FORCE (every |c| × |s| distance is
+    computed — this lane is the banded path's oracle twin), but fused
+    into the blocked Arrow kernel (ops.knn_bruteforce_points, r7):
+    the r6 plan materialized all 15M cross-join rows in the JVM and
+    shipped them through the Python boundary to the top-k combiner
+    (~5 s at sf0.1, almost entirely transfer); now only the customer
+    rows cross and the distance matrix + rank<k pruning run blockwise
+    in numpy (same oracle-exact haversine kernel, identical rows)."""
     from mosaic_engine import ops as _ops
 
     s = _supplier_points(spark, sf_dir)
-    # the fact table side of the cross join must be spread across cores
+    # the fact-table side must be spread across cores
     # (driver parquet is a single small file → 1 input partition)
     c = _customer_points(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism
     )
-    scored = c.crossJoin(F.broadcast(s)).withColumn(
-        "dist_m", _ops.haversine_expr("qx", "qy", "px", "py")
+    topk = _ops.knn_bruteforce_points(
+        c, s, 3,
+        point_id="c_custkey", px="px", py="py",
+        probe_id="s_suppkey", qx="qx", qy="qy",
     )
-    # map-side partial top-k (ops.topk_by_key): the exchange carries
-    # ≤ partitions x keys x k rows instead of all |c|x|s| pairs
-    topk = _ops.topk_by_key(scored, ["s_suppkey"], ["dist_m", "c_custkey"], 3)
     return topk.select(
         "s_suppkey",
         "rank",

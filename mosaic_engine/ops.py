@@ -470,18 +470,48 @@ def knn_index(
         tot = fine.agg(F.sum("n").alias("t")).first()["t"] or 0
         target = max(16.0, 4.0 * max(k_hint, 1))
         level = knn_pick_level(int(tot), k_hint)
-        while level < KNN_MAX_LEVEL:
-            row = (
-                fine.groupBy(
-                    _parent_cell_col(F.col("cell"), KNN_MAX_LEVEL - level)
+        # occupancy walk in ONE job (r7; the r6 loop ran one rollup
+        # aggregation JOB per candidate level — ~0.16 s of scheduling
+        # per step, 6 steps ≈ 1 s on the bench corpus): every
+        # candidate level's (lv, parent) rollup is computed from the
+        # SAME bounded fine dim via a struct-array explode, one
+        # shuffle, and the per-level row-weighted occupancies come
+        # back in a single ≤ (KNN_MAX_LEVEL − guess)-row collect. The
+        # selection rule is unchanged bit-for-bit: first level ≥ the
+        # closed-form guess whose rw ≤ 2×target, else KNN_MAX_LEVEL.
+        if level < KNN_MAX_LEVEL:
+            cand_lvls = list(range(level, KNN_MAX_LEVEL))
+            pairs = F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(lv).alias("lv"),
+                            _parent_cell_col(
+                                F.col("cell"), KNN_MAX_LEVEL - lv
+                            ).alias("p"),
+                        )
+                        for lv in cand_lvls
+                    ]
                 )
-                .agg(F.sum("n").alias("n"))
-                .agg((F.sum(F.col("n") * F.col("n")) / F.sum("n")).alias("rw"))
-                .first()
+            ).alias("x")
+            rw_rows = (
+                fine.select(F.col("n"), pairs)
+                .select(F.col("x.lv").alias("lv"), F.col("x.p").alias("p"), "n")
+                .groupBy("lv", "p")
+                .agg(F.sum("n").alias("pn"))
+                .groupBy("lv")
+                .agg(
+                    (F.sum(F.col("pn") * F.col("pn")) / F.sum("pn")).alias(
+                        "rw"
+                    )
+                )
+                .collect()
             )
-            if float(row["rw"] or 0.0) <= 2.0 * target:
-                break
-            level += 1
+            rw_by_lv = {int(r["lv"]): float(r["rw"] or 0.0) for r in rw_rows}
+            while level < KNN_MAX_LEVEL:
+                if rw_by_lv.get(level, 0.0) <= 2.0 * target:
+                    break
+                level += 1
         # final stats by rollup — no second corpus-wide aggregation;
         # rect columns derive from the key alone
         stats = (
@@ -1659,6 +1689,159 @@ def knn_join(
         "query_id",
         (F.col("pos") + 1).cast("int").alias("rank"),
         F.col("nn.image_id").alias("image_id"),
+        F.col("nn.dist_m").alias("dist_m"),
+    )
+
+
+# cap on the per-chunk |points| × |probes| distance-matrix cells the
+# blocked brute kernel holds in flight (≈ 32 MB of float64 per
+# temporary at 4M cells)
+BRUTE_BLOCK_CELLS = 4_000_000
+
+
+def knn_bruteforce_points(
+    points: DataFrame,
+    probes: DataFrame,
+    k: int,
+    point_id: str,
+    px: str,
+    py: str,
+    probe_id: str,
+    qx: str,
+    qy: str,
+) -> DataFrame:
+    """Exact brute-force kNN of a bounded probe table against an
+    arbitrarily large point table, fused into one blocked Arrow kernel
+    (r7, guide §4.2/§8).
+
+    The r6 shape (cross join with a broadcast probe side → JVM
+    haversine → pandas groupby-head combiner) computed the right
+    distances but materialized |points| × |probes| JVM rows and
+    shipped ALL of them through the Python boundary to the combiner —
+    at sf0.1 that is 15M rows and ~5 s, almost entirely boundary
+    transfer and pandas group overhead. Here only the POINT rows cross
+    (15k rows at sf0.1): the probe table — bounded by the same
+    contract that let the old plan broadcast it — is collected once
+    and closed over, each Arrow batch computes the |batch| × |probes|
+    haversine matrix in numpy (row-chunked to BRUTE_BLOCK_CELLS), and
+    a per-probe np.partition threshold keeps the rank<k superset (ties
+    retained) per task. The final exact (dist, id) total-order top-k
+    is the same JVM aggregation every kNN path ends with, so results
+    are identical row-for-row to the cross-join plan.
+
+    The distance kernel is geometry.haversine_m — the proven
+    oracle-exact formula (radians first, subtract after)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    from . import geometry as geo
+
+    spark = points.sparkSession
+    p_fields = {f.name: f.dataType for f in points.schema.fields}
+    q_fields = {f.name: f.dataType for f in probes.schema.fields}
+    out_schema = T.StructType(
+        [
+            T.StructField(probe_id, q_fields[probe_id]),
+            T.StructField(point_id, p_fields[point_id]),
+            T.StructField("dist_m", T.DoubleType()),
+        ]
+    )
+    prows = probes.select(probe_id, qx, qy).collect()
+    if not prows:
+        empty = spark.createDataFrame([], out_schema)
+        return empty.select(
+            probe_id,
+            F.lit(1).cast("int").alias("rank"),
+            point_id,
+            "dist_m",
+        ).limit(0)
+    pid_np = np.array([r[0] for r in prows])
+    qx_np = np.array([float(r[1]) for r in prows], dtype=np.float64)
+    qy_np = np.array([float(r[2]) for r in prows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((pid_np, qx_np, qy_np))
+    qid_type = q_fields[probe_id]
+
+    def kern(batches):
+        import pyarrow as pa
+
+        ids, xs, ys = bc.value
+        nq = len(ids)
+        chunk = max(1, BRUTE_BLOCK_CELLS // nq)
+        acc: list = []
+        rows = 0
+        last = 0
+
+        def compact(parts):
+            t = pa.concat_tables(parts)
+            keep = _rank_keep_mask(
+                t.column("__p").to_numpy(zero_copy_only=False),
+                t.column("dist_m").to_numpy(zero_copy_only=False),
+                k,
+            )
+            return [t.filter(pa.array(keep))]
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([rb])
+            X = tbl.column(px).to_numpy(zero_copy_only=False)
+            Y = tbl.column(py).to_numpy(zero_copy_only=False)
+            for s in range(0, len(X), chunk):
+                e = min(s + chunk, len(X))
+                # (nq, chunk) matrix — same scalar formula per cell as
+                # the 1-D kernel (broadcasting only shapes the loops)
+                D = geo.haversine_m(
+                    xs[:, None], ys[:, None], X[None, s:e], Y[None, s:e]
+                )
+                kk = min(k, e - s)
+                kth = np.partition(D, kk - 1, axis=1)[:, kk - 1 : kk]
+                pi, ci = np.nonzero(D <= kth)
+                acc.append(
+                    pa.table(
+                        {
+                            "__p": pa.array(pi.astype(np.int64)),
+                            point_id: tbl.column(point_id).take(
+                                pa.array(ci + s)
+                            ),
+                            "dist_m": pa.array(D[pi, ci], pa.float64()),
+                        }
+                    )
+                )
+                rows += len(pi)
+                if rows >= max(200_000, 2 * last) and len(acc) > 1:
+                    acc = compact(acc)
+                    last = rows = acc[0].num_rows
+        if acc:
+            t = compact(acc)[0]
+            pidx = t.column("__p").to_numpy(zero_copy_only=False)
+            out = pa.table(
+                {
+                    probe_id: pa.array(ids[pidx]),
+                    point_id: t.column(point_id),
+                    "dist_m": t.column("dist_m"),
+                }
+            )
+            yield from out.to_batches()
+
+    pruned = points.select(point_id, px, py).mapInArrow(
+        kern, schema=out_schema
+    )
+    topk = pruned.groupBy(probe_id).agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("dist_m"), F.col(point_id)))
+            ),
+            1,
+            k,
+        ).alias("nn")
+    )
+    return topk.select(
+        probe_id, F.posexplode("nn").alias("pos", "nn")
+    ).select(
+        probe_id,
+        (F.col("pos") + 1).cast("int").alias("rank"),
+        F.col(f"nn.{point_id}").alias(point_id),
         F.col("nn.dist_m").alias("dist_m"),
     )
 

@@ -41,10 +41,10 @@ EXPLODE_GEOM_COLS = [
 ]
 
 
-def _explode_batch(
-    pdf: pd.DataFrame, zoom: int, passthrough: list[str], exact: bool
-) -> pd.DataFrame:
-    """One Arrow batch of scenes → (passthrough..., cell) rows.
+def _explode_flat(
+    pdf: pd.DataFrame, zoom: int, exact: bool
+) -> tuple[np.ndarray, np.ndarray]:
+    """One Arrow batch of scenes → flat (scene_index, cell) pair arrays.
 
     The tile key is a PACKED INT64 cell id (cells.pack_cell), not a
     quadkey string: at z10 a 1M-scene batch set emits ~67M rows, and
@@ -52,10 +52,8 @@ def _explode_batch(
     (~40% wall). Strings appear only at bounded output edges
     (cell_to_quadkey over the aggregated tiles)."""
     n = len(pdf)
-    empty = {c: pdf[c].iloc[:0] for c in passthrough}
-    empty.update({"cell": np.empty(0, np.int64)})
     if n == 0:
-        return pd.DataFrame(empty)
+        return np.empty(0, np.int64), np.empty(0, np.int64)
     min_lon = pdf["min_lon"].to_numpy(np.float64)
     min_lat = pdf["min_lat"].to_numpy(np.float64)
     max_lon = pdf["max_lon"].to_numpy(np.float64)
@@ -91,7 +89,7 @@ def _explode_batch(
     counts = nx * ny
     total = int(counts.sum())
     if total == 0:
-        return pd.DataFrame(empty)
+        return np.empty(0, np.int64), np.empty(0, np.int64)
     # flat candidate expansion: box b repeated counts[b] times
     box_of = np.repeat(np.arange(len(counts)), counts)
     offs = np.concatenate([[0], np.cumsum(counts)])[:-1]
@@ -111,9 +109,44 @@ def _explode_batch(
         )
         tx, ty, scene_of = tx[keep], ty[keep], scene_of[keep]
 
-    out = {c: pdf[c].to_numpy()[scene_of] for c in passthrough}
-    out["cell"] = cl.pack_cell(tx, ty, zoom)
-    return pd.DataFrame(out)
+    return scene_of, cl.pack_cell(tx, ty, zoom)
+
+
+def _explode_arrow_kernel(passthrough: list[str], zoom: int, exact: bool):
+    """mapInArrow closure: scenes batch → one row per INPUT scene with
+    a packed-cell ARRAY column (r7, guide §4.1). The previous kernel
+    emitted one OUTPUT row per (scene, cell) pair with every
+    passthrough column duplicated per pair — at the 1M-scene bench
+    corpus that is 8M rows (~8× the input) serialized JVM→Python→JVM,
+    and the boundary transfer was the mosaic lane's largest cost.
+    Per-scene list rows keep the boundary at |scenes| rows with each
+    passthrough value crossing ONCE; the pair expansion happens in the
+    JVM as a codegen explode. The geometry columns are converted to
+    pandas per batch (the kernels are numpy); passthrough columns are
+    passed through as Arrow buffers untouched — no Python string
+    materialization."""
+    import pyarrow as pa
+
+    def run(batches):
+        for rb in batches:
+            pdf = pa.Table.from_batches([rb]).select(
+                EXPLODE_GEOM_COLS
+            ).to_pandas()
+            scene_of, cells = _explode_flat(pdf, zoom, exact)
+            order = np.argsort(scene_of, kind="stable")
+            cnt = np.bincount(scene_of, minlength=len(pdf))
+            offsets = np.concatenate(
+                ([0], np.cumsum(cnt))
+            ).astype(np.int32)
+            lists = pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(cells[order], pa.int64())
+            )
+            yield pa.record_batch(
+                [rb.column(c) for c in passthrough] + [lists],
+                names=passthrough + ["cells"],
+            )
+
+    return run
 
 
 def explode_to_quadkeys(
@@ -134,15 +167,15 @@ def explode_to_quadkeys(
     in_cols = list(dict.fromkeys(passthrough + EXPLODE_GEOM_COLS))
     src = df.select(*in_cols)
     fields = [src.schema[c] for c in passthrough]
-    out_schema = T.StructType(
-        fields + [T.StructField("cell", T.LongType())]
+    arr_schema = T.StructType(
+        fields + [T.StructField("cells", T.ArrayType(T.LongType()))]
     )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield _explode_batch(pdf, zoom, passthrough, exact)
-
-    return src.mapInPandas(run, schema=out_schema)
+    arr = src.mapInArrow(
+        _explode_arrow_kernel(passthrough, zoom, exact), schema=arr_schema
+    )
+    # pair expansion in the JVM (codegen Generate — scenes covering no
+    # tile carry an empty array and vanish here, same as before)
+    return arr.select(*passthrough, F.explode("cells").alias("cell"))
 
 
 def ring_to_quadkeys(
@@ -168,23 +201,28 @@ def ring_to_quadkeys(
         F.when(mx > 180.0, mx - 360.0).otherwise(mx).alias("max_lon"),
         F.array_max(ys_col).alias("max_lat"),
     )
-    out_schema = T.StructType(
-        [src.schema[id_col]] + [T.StructField("cell", T.LongType())]
+    arr_schema = T.StructType(
+        [src.schema[id_col]]
+        + [T.StructField("cells", T.ArrayType(T.LongType()))]
     )
+    inner = _explode_arrow_kernel([id_col], zoom, exact=True)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) and (
-                pdf["min_lon"].to_numpy(np.float64) < -180.0
-            ).any():
+    def run(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            mins = rb.column("min_lon").to_numpy(zero_copy_only=False)
+            if len(mins) and (mins < -180.0).any():
                 raise ValueError(
                     "ring_to_quadkeys: ring longitude < -180 — unwrap "
                     "antimeridian-crossing rings EASTWARD (x in "
                     "(180, 360)) or split them per RFC 7946 §3.1.9"
                 )
-            yield _explode_batch(pdf, zoom, [id_col], exact=True)
+            yield from inner([rb])
 
-    return src.mapInPandas(run, schema=out_schema)
+    return src.mapInArrow(run, schema=arr_schema).select(
+        id_col, F.explode("cells").alias("cell")
+    )
 
 
 # ------------------------------------------------------------ scalar UDFs
