@@ -276,14 +276,23 @@ def ivf_centroids(
     ]
     cents.sort()
     for _ in range(iters):
-        assigned = base.select(
-            "vec_id", "q", _ivf_assign_col(cents, "q").alias("cid")
-        )
-        dims = assigned.select("cid", F.posexplode("q").alias("dim", "val"))
+        # assignment + per-dimension partial sums fused in ONE Arrow
+        # kernel (r7, guide §2.3 "aggregate before you shuffle"): the
+        # r6 iteration posexploded DIM× the corpus and shuffled every
+        # (cid, dim, val) row into the mean aggregation — 64× the
+        # corpus rows per Lloyd step. Each task now emits at most
+        # n_list × DIM partial rows (exact int64 sums — commutative,
+        # so the merge order cannot perturb the result), and the
+        # exchange carries ~tasks × n_list × DIM rows regardless of
+        # corpus size. The final floor(sum/count) is the identical
+        # double-division the SQL oracle computes.
+        partials = _ivf_partials(base, cents)
         means = (
-            dims.groupBy("cid", "dim")
+            partials.groupBy("cid", "dim")
             .agg(
-                F.floor(F.sum("val").cast("double") / F.count("*"))
+                F.floor(
+                    F.sum("s").cast("double") / F.sum("n").cast("double")
+                )
                 .cast("long")
                 .alias("m")
             )
@@ -302,6 +311,80 @@ def ivf_centroids(
         ]
         cents.sort()
     return cents
+
+
+def _ivf_partials(base: DataFrame, cents) -> DataFrame:
+    """Per-task (cid, dim, s, n) partial centroid sums for one Lloyd
+    step: the same exact-integer argmax-cosine assignment as
+    _ivf_assign_col, with the per-dimension sums and member counts
+    accumulated in-kernel (np.add.at scatter) instead of exploding the
+    corpus. Sums are exact int64 (see ivf_centroids' 2^53 bound), so
+    partial merge order is immaterial."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    if not cents:
+        raise ValueError(
+            "ivf: no centroids — the deterministic seed takes the "
+            f"vectors with vec_id < n_list (default {N_LIST}); an "
+            "empty/zero-norm corpus or one whose vec_ids do not start "
+            "at 0 yields none (r5 review: was an opaque IndexError)"
+        )
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    C = np.array([v for _, v in cents], dtype=np.int64)
+    ncc = (C * C).sum(axis=1)
+    den = np.sqrt(ncc.astype(np.float64))
+    valid = ncc > 0
+    dim = C.shape[1]
+
+    def kern(batches):
+        import pandas as pd
+
+        sums = np.zeros((len(cids), dim), dtype=np.int64)
+        cnts = np.zeros(len(cids), dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = pdf["q"]
+            for v in q:
+                if v is None or len(v) != dim:
+                    raise ValueError(
+                        f"ivf assign: embedding must be non-null with "
+                        f"{dim} dims (got "
+                        f"{'null' if v is None else len(v)})"
+                    )
+            Q = np.vstack(q.to_numpy())
+            dots = Q.astype(np.int64) @ C.T
+            with np.errstate(divide="ignore", invalid="ignore"):
+                scores = np.where(
+                    valid, dots.astype(np.float64) / den, -np.inf
+                )
+            idx = np.argmax(scores, axis=1)
+            np.add.at(sums, idx, Q)
+            np.add.at(cnts, idx, 1)
+        nz = np.flatnonzero(cnts)
+        if len(nz) == 0:
+            return
+        yield pd.DataFrame(
+            {
+                "cid": np.repeat(cids[nz], dim),
+                "dim": np.tile(np.arange(dim, dtype=np.int64), len(nz)),
+                "s": sums[nz].ravel(),
+                "n": np.repeat(cnts[nz], dim),
+            }
+        )
+
+    return base.select("q").mapInPandas(
+        kern,
+        schema=T.StructType(
+            [
+                T.StructField("cid", T.LongType()),
+                T.StructField("dim", T.LongType()),
+                T.StructField("s", T.LongType()),
+                T.StructField("n", T.LongType()),
+            ]
+        ),
+    )
 
 
 def _ivf_assign_col(cents, qcol: str) -> Column:
@@ -470,16 +553,27 @@ def ivf_topk(
         cents, base = index.cents, index.corpus
     else:
         if cents is None:
-            cents = ivf_centroids(emb, n_list=n_list)
+            # materialize the quantization ONCE and share it between
+            # the training iterations and the serving assignment (r7;
+            # previously the one-shot path re-scanned + re-quantized
+            # the embeddings after training — ivf_index already did
+            # the sharing, the inline path now matches)
+            full = _nonzero(with_quantized(emb)).localCheckpoint(
+                eager=True
+            )
+            cents = ivf_centroids(
+                emb, n_list=n_list, base=full.select("vec_id", "q")
+            )
+            base = full.withColumn("cid", _ivf_assign_col(cents, "q"))
         else:
             # the documented min-cid tie-break relies on a cid-sorted
             # list (argmax takes the FIRST max) — internal producers
             # sort; an unsorted caller-supplied list must not silently
             # change assignment determinism (r5 review)
             cents = sorted(cents)
-        base = _nonzero(with_quantized(emb)).withColumn(
-            "cid", _ivf_assign_col(cents, "q")
-        )
+            base = _nonzero(with_quantized(emb)).withColumn(
+                "cid", _ivf_assign_col(cents, "q")
+            )
     qs = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qq"),

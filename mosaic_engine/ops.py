@@ -573,12 +573,22 @@ def knn_index_save(idx: KnnIndex, path: str) -> None:
     idx.cent.repartitionByRange("scell", "cell").write.mode(
         "overwrite"
     ).partitionBy("scell").parquet(f"{path}/cent_g{gen}")
+    # the cascade-prep rollup rides with the generation (r7 — VERDICT
+    # r6 #2): the capped (cell, n) table _cascade_prep would otherwise
+    # recount + re-collect from stats on EVERY load-then-serve;
+    # knn_index_load rebuilds the bounded numpy chains from this
+    # directly
+    cap = _prep_cap(idx.stats, idx.level)
+    _prep_rollup_df(idx.stats, idx.level, cap).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/prep_g{gen}")
     # the COMMIT: one small overwrite, written last
     spark.createDataFrame(
-        [(int(idx.level), int(gen))], "level int, gen int"
+        [(int(idx.level), int(gen), int(cap))],
+        "level int, gen int, prep_cap int",
     ).write.mode("overwrite").parquet(f"{path}/meta")
     # GC superseded generations (best-effort; readers follow meta)
-    _gc_superseded_generations(spark, path, ("stats", "cent"), gen)
+    _gc_superseded_generations(spark, path, ("stats", "cent", "prep"), gen)
 
 
 def _gc_superseded_generations(
@@ -634,7 +644,23 @@ def knn_index_load(spark, path: str) -> KnnIndex:
     cent = spark.read.parquet(f"{path}/cent{sfx}").withColumn(
         "scell", F.col("scell").cast("long")
     )
-    return KnnIndex(level, cent, spark.read.parquet(f"{path}/stats{sfx}"))
+    idx = KnnIndex(level, cent, spark.read.parquet(f"{path}/stats{sfx}"))
+    if "prep_cap" in meta.asDict() and meta["prep_cap"] is not None:
+        # rebuild the cascade prep from the persisted capped rollup
+        # (r7 — VERDICT r6 #2): one small parquet collect + bounded
+        # numpy instead of a stats count + re-collect per serve;
+        # legacy generations (no prep_cap) fall back to the lazy
+        # in-serve _cascade_prep
+        import numpy as np
+
+        pdf = spark.read.parquet(f"{path}/prep{sfx}").toPandas()
+        prep = _prep_from_arrays(
+            pdf["cell"].to_numpy(np.int64),
+            pdf["n"].to_numpy(np.int64),
+            int(meta["prep_cap"]),
+        )
+        idx.prep = (prep, spark.sparkContext.broadcast(prep))
+    return idx
 
 
 # ---- numpy twins of the cascade bound math (r6): the coarse cascade
@@ -903,32 +929,50 @@ def _ranges_gather(starts, ends):
     return rep_start + (np.arange(total, dtype=np.int64) - rep_base), counts
 
 
+def _prep_cap(stats: DataFrame, level: int) -> int:
+    """Kernel descent cap: `level` itself when the fine stats dim fits
+    FINE_COLLECT_ROWS, else the 4^9-bounded level-9 rollup (at 100 TB
+    the fine dim is corpus-sized and stays distributed; the rollup is
+    bounded BY CONSTRUCTION)."""
+    n_stats = stats.count()
+    return level if n_stats <= FINE_COLLECT_ROWS else min(9, level)
+
+
+def _prep_rollup_df(stats: DataFrame, level: int, cap: int) -> DataFrame:
+    """The (cell, n) stats rollup at `cap` — the bounded table the
+    cascade prep collects (and knn_index_save persists with the
+    generation)."""
+    if cap == level:
+        return stats.select("cell", F.col("n_in_cell").alias("n"))
+    return stats.groupBy(
+        _parent_cell_col(F.col("cell"), level - cap).alias("cell")
+    ).agg(F.sum("n_in_cell").alias("n"))
+
+
 def _cascade_prep(stats: DataFrame, level: int) -> dict:
     """Driver-side prep for the in-kernel coarse cascade: ONE bounded
-    collect of the stats dim rolled to `cap` (cap = `level` itself when
-    the fine dim fits FINE_COLLECT_ROWS, else the 4^9-bounded level-9
-    rollup — at 100 TB the fine dim is corpus-sized and stays
-    distributed, the rollup is bounded BY CONSTRUCTION), then pure
-    numpy rollups/CSRs for every chain level. Returns plain arrays —
-    broadcast once per serve via sparkContext.broadcast."""
+    collect of the stats dim rolled to the cap (_prep_cap), then pure
+    numpy rollups/CSRs for every chain level (_prep_from_arrays).
+    Returns plain arrays — broadcast once per serve via
+    sparkContext.broadcast. A SAVED index skips this entirely:
+    knn_index_save persists the capped rollup with the generation and
+    knn_index_load rebuilds the numpy chains from it (r7 — VERDICT r6
+    #2)."""
     import numpy as np
 
-    n_stats = stats.count()
-    cap = level if n_stats <= FINE_COLLECT_ROWS else min(9, level)
-    if cap == level:
-        pdf = stats.select("cell", "n_in_cell").toPandas()
-        cells = pdf["cell"].to_numpy(np.int64)
-        ns = pdf["n_in_cell"].to_numpy(np.int64)
-    else:
-        pdf = (
-            stats.groupBy(
-                _parent_cell_col(F.col("cell"), level - cap).alias("cell")
-            )
-            .agg(F.sum("n_in_cell").alias("n"))
-            .toPandas()
-        )
-        cells = pdf["cell"].to_numpy(np.int64)
-        ns = pdf["n"].to_numpy(np.int64)
+    cap = _prep_cap(stats, level)
+    pdf = _prep_rollup_df(stats, level, cap).toPandas()
+    return _prep_from_arrays(
+        pdf["cell"].to_numpy(np.int64), pdf["n"].to_numpy(np.int64), cap
+    )
+
+
+def _prep_from_arrays(cells, ns, cap: int) -> dict:
+    """Build the cascade prep dict (chain, per-level rollups, CSR
+    steps, per-cell trig attrs) from the capped (cell, n) arrays —
+    pure numpy, shared by the inline and saved-index paths."""
+    import numpy as np
+
     order = np.argsort(cells)
     cells, ns = cells[order], ns[order]
 

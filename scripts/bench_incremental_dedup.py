@@ -105,6 +105,7 @@ def run_variant(
     work = os.path.join(base, "work")
     os.makedirs(sdir)
     walls, compact_walls, batch_pairs = [], [], []
+    prev_rows_read = []
     pair_total = 0
     for b in range(n_batches):
         datagen.write_parquet(
@@ -125,6 +126,20 @@ def run_variant(
                 os.path.join(work, "pairs_log", f"batch_id={b}")
             ).count()
         )
+        # prev band rows this batch's joins actually READ (r7 —
+        # VERDICT r6 #1): with the bucket-partitioned compacted state
+        # the scan prunes to touched buckets, so this stays a bucket
+        # share of history instead of the whole corpus band state.
+        # Recomputed outside the timed window.
+        nb_bands = spark.read.parquet(
+            os.path.join(work, "bands_log", f"batch_id={b}")
+        )
+        prev_view = streaming._read_prev_bands(
+            spark, work, streaming.LOCAL_FS, b, nb_bands
+        )
+        prev_rows_read.append(
+            0 if prev_view is None else prev_view.count()
+        )
         if (b + 1) % compact_every == 0:
             t0 = time.time()
             streaming.compact_dedup_logs(spark, work)
@@ -137,6 +152,7 @@ def run_variant(
                     "history_docs": b * docs_per_batch,
                     "wall_sec": wall,
                     "batch_pairs": batch_pairs[-1],
+                    "prev_rows_read": prev_rows_read[-1],
                 }
             ),
             flush=True,
@@ -152,6 +168,7 @@ def run_variant(
         "head_mean_sec": round(head, 2),
         "tail_mean_sec": round(tail, 2),
         "tail_over_head": round(tail / head, 2),
+        "prev_rows_read": prev_rows_read,
         "pairs": int(pair_total),
     }
 
@@ -179,6 +196,54 @@ def main():
         )
     )
     print(json.dumps(out[-1]), flush=True)
+    # trickle scan-pruning demo (r7 — VERDICT r6 #1): re-compact the
+    # uniform work_dir with a small rows-per-bucket target so the
+    # bucket count P far exceeds a TRICKLE batch's distinct band keys,
+    # then stream tiny batches. prev_rows_read should collapse to
+    # ~touched-buckets × rows-per-bucket (O(batch keys), independent
+    # of history) — the case hash bucketing can prune. A batch whose
+    # key count exceeds P touches every bucket and reads the full
+    # state (the uniform/degenerate curves above show exactly that),
+    # which is why P must scale with the state.
+    work = os.path.join(CACHE, "uniform", "work")
+    sdir = os.path.join(CACHE, "uniform", "docs")
+    streaming.compact_dedup_logs(spark, work, bucket_rows=64)
+    state_rows = 0
+    man = json.loads(
+        streaming.LOCAL_FS.read_text(
+            os.path.join(work, "tiles_manifest.json")
+        )
+    )
+    state_rows = spark.read.parquet(
+        os.path.join(work, "bands_compacted", f"gen={man['gen']}")
+    ).count()
+    trickle = {"variant": "uniform_trickle", "P": man.get("band_buckets"),
+               "state_rows": int(state_rows), "walls": [],
+               "prev_rows_read": []}
+    for tb in range(3):
+        datagen.write_parquet(
+            gen_docs_batch(100 + tb, 20, 0.0),
+            os.path.join(sdir, f"t{tb:03d}.parquet"),
+        )
+        t0 = time.time()
+        streaming.run_incremental_dedup(spark, sdir, work)
+        trickle["walls"].append(round(time.time() - t0, 2))
+        bid = max(
+            int(d.split("=", 1)[1])
+            for d in streaming._named_batch_dirs(
+                os.path.join(work, "bands_log")
+            )
+        )
+        nb_bands = spark.read.parquet(
+            os.path.join(work, "bands_log", f"batch_id={bid}")
+        )
+        prev_view = streaming._read_prev_bands(
+            spark, work, streaming.LOCAL_FS, bid, nb_bands
+        )
+        trickle["prev_rows_read"].append(
+            0 if prev_view is None else prev_view.count()
+        )
+    print(json.dumps(trickle), flush=True)
     spark.stop()
 
 

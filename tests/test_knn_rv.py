@@ -596,7 +596,9 @@ def test_knn_index_save_generation_commit(spark, scenes_df, tmp_path):
     # would break the index the caller still holds); the legacy bare
     # dir is retired once a versioned predecessor exists
     assert sorted(os.listdir(path)) == [
-        "cent_g0", "cent_g1", "meta", "stats_g0", "stats_g1"
+        "cent_g0", "cent_g1", "meta",
+        "prep_g0", "prep_g1",
+        "stats_g0", "stats_g1",
     ]
     # the index loaded BEFORE the re-save must still serve (its
     # backing g0 files were kept)
@@ -610,7 +612,9 @@ def test_knn_index_save_generation_commit(spark, scenes_df, tmp_path):
     # a third save retires g0: growth stays bounded at two generations
     ops.knn_index_save(ops.knn_index(scenes_df, level=6), path)
     assert sorted(os.listdir(path)) == [
-        "cent_g1", "cent_g2", "meta", "stats_g1", "stats_g2"
+        "cent_g1", "cent_g2", "meta",
+        "prep_g1", "prep_g2",
+        "stats_g1", "stats_g2",
     ]
     # served results match a fresh index at the same level
     queries = spark.createDataFrame(

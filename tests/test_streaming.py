@@ -1006,3 +1006,75 @@ def test_bucket_stats_semi_join_broadcasts_and_is_exact(spark, tmp_path):
         for r in streaming._cumulative_bucket_stats(nb, None).collect()
     }
     assert got0 == {(0, 11): (2, 100), (0, 22): (1, 102), (1, 33): (1, 100)}
+
+
+def test_incremental_dedup_bucketed_state_prunes_scan(spark, tmp_path):
+    """(r7 — VERDICT r6 #1) The compacted band generation is written
+    PARTITIONED BY pmod(xxhash64(band, key), DEDUP_BAND_BUCKETS), and
+    a micro-batch's view of the previous state (_read_prev_bands)
+    prunes its scan to the buckets the batch touches — per-batch
+    prev-rows READ stays O(batch share), not O(corpus). Asserts the
+    on-disk layout, the PartitionFilters in the pruned scan's plan,
+    and that pruning returns exactly the touched buckets' rows."""
+    import pyarrow.compute as pc
+
+    from pyspark.sql import functions as F
+
+    from mosaic_engine import textops
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    half = pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)
+    sdir = str(tmp_path / "docs_stream_bkt")
+    os.makedirs(sdir)
+    work = str(tmp_path / "dedup_work_bkt")
+    datagen.write_parquet(t.filter(half), os.path.join(sdir, "p1.parquet"))
+    streaming.run_incremental_dedup(spark, sdir, work)
+    datagen.write_parquet(
+        t.filter(pc.invert(half)), os.path.join(sdir, "p2.parquet")
+    )
+    streaming.run_incremental_dedup(spark, sdir, work)
+    assert streaming.compact_dedup_logs(spark, work, target_partitions=2) >= 2
+
+    gen_dir = os.path.join(work, "bands_compacted", "gen=0")
+    buckets_on_disk = [
+        d for d in os.listdir(gen_dir) if d.startswith("_bucket=")
+    ]
+    assert buckets_on_disk, os.listdir(gen_dir)
+
+    # a small probe batch touches few buckets (≤ docs × bands)
+    import json as _json
+
+    p = int(
+        _json.loads(
+            streaming.LOCAL_FS.read_text(
+                os.path.join(work, "tiles_manifest.json")
+            )
+        ).get("band_buckets")
+        or streaming.DEDUP_BAND_BUCKETS
+    )
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    nb = textops.minhash_banded(docs.limit(3))
+    touched = {
+        r["b"]
+        for r in nb.select(
+            streaming._band_bucket_col(p).alias("b")
+        ).distinct().collect()
+    }
+    assert 0 < len(touched) < p
+
+    prev = streaming._read_prev_bands(
+        spark, work, streaming.LOCAL_FS, 10**6, nb
+    )
+    plan = prev._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_bucket" in plan, plan
+
+    full = spark.read.parquet(gen_dir)
+    want = sorted(
+        map(
+            tuple,
+            full.filter(F.col("_bucket").isin(sorted(touched)))
+            .drop("_bucket")
+            .collect(),
+        )
+    )
+    assert sorted(map(tuple, prev.collect())) == want and len(want) > 0
