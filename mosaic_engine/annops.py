@@ -515,7 +515,9 @@ def ivf_index_load(spark, path: str) -> IvfIndex:
     (legacy unversioned cents/corpus layouts load when no meta
     exists). The partition column comes back type-inferred (int), so
     it is re-cast to long to keep the serving join's key type
-    identical to the built-inline path."""
+    identical to the built-inline path. NOTE the two-generation GC
+    bound (ops._gc_superseded_generations): a loaded handle survives
+    exactly one re-save over `path`; reload after each re-save."""
     try:
         gen = int(spark.read.parquet(f"{path}/meta").first()["gen"])
         sfx = f"_g{gen}"

@@ -223,7 +223,12 @@ def read_snapshot_manifest(
     treated as ABSENT rather than raised (r6 advice): callers —
     checkpoint lineage and write_table(mode='ignore') — already have a
     defined no-manifest behavior, and a torn file should degrade to
-    that, not crash the resume path."""
+    that, not crash the resume path. A NON-corruption IO error that
+    persists across the retry while the object provably EXISTS raises
+    instead (r7, ADVICE r6): that is an outage, and degrading it to
+    'absent' would let write_table(mode='ignore') re-commit a fresh
+    snapshot over a healthy manifest; corruption signatures
+    (checksum/EOF) keep the torn-write 'absent' contract."""
     fs, _ = _fs_and_path(spark, location)
     jvm = spark._jvm  # noqa: SLF001
     jpath = jvm.org.apache.hadoop.fs.Path(
@@ -255,12 +260,34 @@ def read_snapshot_manifest(
         # write_table(mode='ignore') re-commit a fresh snapshot_id
         # over a healthy manifest — silently invalidating every
         # checkpoint whose lineage embeds the old id (r6 review). One
-        # retry separates the two: corruption fails identically twice;
-        # a blip usually doesn't. Still-failing reads degrade — the
-        # manifest is OPTIONAL evidence with a defined absent behavior.
+        # retry separates the two: corruption fails identically twice.
         try:
             return _read()
         except ValueError:
             return None
-        except Exception:
+        except Exception as err:
+            # BOTH reads raised non-parse errors. Two distinct worlds
+            # share that signature (r7, ADVICE r6):
+            #  * CORRUPTION — a manifest torn behind its checksum
+            #    sidecar (ChecksumException) or truncated (EOF): the
+            #    r6 torn-write contract applies, degrade to 'absent'
+            #    so the resume path keeps its defined behavior
+            #    (test_torn_snapshot_manifest_degrades_not_crashes);
+            #  * a persistent OUTAGE (throttling, network) on a
+            #    manifest that provably EXISTS: degrading would let
+            #    write_table(mode='ignore') re-commit a fresh
+            #    snapshot over a healthy manifest — raise instead and
+            #    let the caller retry with backoff.
+            sig = f"{type(err).__name__}: {err}"
+            corrupt = (
+                "ChecksumException" in sig or "EOFException" in sig
+            )
+            if corrupt:
+                return None
+            try:
+                exists = fs.exists(jpath)
+            except Exception:
+                exists = False
+            if exists:
+                raise
             return None

@@ -131,8 +131,17 @@ def hex_pack(qs, rs, res: int) -> np.ndarray:
 
 
 def hex_unpack(ids) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Packed ids → (q, r, res)."""
+    """Packed ids → (q, r, res). Negative ids raise: hex_kring emits
+    -1 sentinels for unpackable ring positions, and silently decoding
+    one yields well-formed garbage (res 31, huge q/r) that corrupts
+    every downstream helper — fail loud like hex_pack does (r7,
+    ADVICE r6). Filter sentinels before unpacking."""
     c = np.asarray(ids, dtype=np.int64)
+    if c.size and (c < 0).any():
+        raise ValueError(
+            "hex_unpack: negative id (hex_kring's -1 sentinel for an "
+            "unpackable ring position?) — filter sentinels first"
+        )
     res = c % np.int64(32)
     body = c // np.int64(32)
     off = np.int64(1) << (res + np.int64(1))

@@ -608,7 +608,14 @@ def _gc_superseded_generations(
     would break the live index the caller still holds. Growth stays
     bounded at two generations; the next save retires the older one.
     Readers follow meta, so nothing here is load-bearing; failures are
-    swallowed and retried by the next save."""
+    swallowed and retried by the next save.
+
+    Caller contract (r7, ADVICE r6): an index HANDLE loaded before a
+    re-save keeps reading its generation's files, which survive
+    exactly ONE further save — after two consecutive saves the
+    handle's files are gone and probes fail with a missing-file read
+    error, not a refusal. Long-lived serving processes must reload
+    (knn_index_load / ivf_index_load) after each re-save they observe."""
     from .catalog import _fs_and_path
 
     keep = {f"_g{live_gen}", f"_g{live_gen - 1}"}

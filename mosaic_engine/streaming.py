@@ -825,6 +825,19 @@ def run_incremental_dedup(
                 "contract. Use a fresh work_dir."
             )
     else:
+        # refuse a work_dir that already holds band batches but no
+        # recorded cap (r7, ADVICE r6): such state predates the
+        # config record (exhaustive-era semantics unknown), and
+        # silently stamping the CURRENT cap would mix guard regimes —
+        # exactly the drift this file exists to refuse.
+        if _named_batch_dirs(os.path.join(work_dir, "bands_log"), fs):
+            raise ValueError(
+                f"work_dir {work_dir} holds bands_log batches but no "
+                "dedup_config record — its mega-bucket guard regime "
+                "is unknown and stamping the current cap would mix "
+                "regimes. Use a fresh work_dir (or restore the "
+                "original dedup_config)."
+            )
         fs.write_text_atomic(cap_file, cap)
     man = _read_manifest(work_dir, fs)
     if man["folded"]:

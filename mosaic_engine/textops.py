@@ -347,48 +347,83 @@ def simhash64(docs: DataFrame) -> DataFrame:
 
     A 60-wide Column aggregation blows whole-stage codegen's method
     limit and runs interpreted (~10× the whole op), so the signature is
-    one fused Arrow kernel instead: collect the packed (code, cnt)
-    pairs per doc (ObjectHashAggregate, partial-merge capable — order
-    inside the list is irrelevant because the bit sums are commutative
-    and exact integers), then a vectorized numpy pass (parities →
-    reduceat → bit pack) per batch. Bit-identical to the SQL oracle."""
+    one fused Arrow kernel. r7 rework (guide §2.3/§4.2): the r6 shape
+    pre-counted (doc_id, code) in one shuffle, collect_list'ed per doc
+    in a SECOND shuffle, and evaluated the 60 affine parities per
+    (doc, code) ROW (~50M modmuls at 5k docs). Now the raw (doc_id,
+    code) token rows hash-partition ONCE by doc_id and a mapInPandas
+    kernel does the per-doc counting (lexsort + segment boundaries),
+    evaluates parities once per UNIQUE code value in the task (the
+    vocabulary is tiny relative to token occurrences), and bit-packs —
+    one narrow shuffle, ~20× less parity math. Bit sums are exact
+    commutative integers, so the result is bit-identical to the SQL
+    oracle (and to the r6 kernel)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
-    from pyspark.sql.functions import pandas_udf
 
-    tc = (
-        tokens(docs)
-        .withColumn("code", token_code(F.col("token")))
-        .groupBy("doc_id", "code")
-        .agg(F.count("*").alias("cnt"))
-    )
-    packed = tc.groupBy("doc_id").agg(
-        F.collect_list(
-            F.shiftleft(F.col("code"), _PACK_SHIFT) + F.col("cnt")
-        ).alias("packed")
-    )
     A = np.array([a for a, _ in SIM64_AB], dtype=np.int64)
     B = np.array([b for _, b in SIM64_AB], dtype=np.int64)
     POWS = (np.int64(1) << np.arange(SIM64_BITS, dtype=np.int64)).astype(
         np.int64
     )
 
-    @pandas_udf(T.LongType())
-    def sig(packed: pd.Series) -> pd.Series:
-        lens = np.fromiter((len(v) for v in packed), dtype=np.int64, count=len(packed))
-        if lens.sum() == 0:
-            return pd.Series(np.zeros(len(packed), dtype=np.int64))
-        flat = np.concatenate([np.asarray(v, dtype=np.int64) for v in packed])
-        codes = flat >> _PACK_SHIFT
-        cnts = flat & ((1 << _PACK_SHIFT) - 1)
-        par = ((codes[:, None] * A + B) % P) & 1
-        contrib = (2 * par - 1) * cnts[:, None]
-        offs = np.concatenate([[0], np.cumsum(lens)])[:-1]
-        sums = np.add.reduceat(contrib, offs, axis=0)
-        return pd.Series(((sums > 0).astype(np.int64) * POWS).sum(axis=1))
+    src = (
+        tokens(docs)
+        .withColumn("code", token_code(F.col("token")))
+        .select("doc_id", "code")
+        .repartition(F.col("doc_id"))
+    )
+    id_type = src.schema["doc_id"].dataType
 
-    return packed.select("doc_id", sig("packed").alias("simhash"))
+    def sig(batches):
+        docs_acc: list = []
+        codes_acc: list = []
+        for pdf in batches:
+            if len(pdf):
+                docs_acc.append(pdf["doc_id"].to_numpy())
+                codes_acc.append(pdf["code"].to_numpy(np.int64))
+        if not docs_acc:
+            return
+        d = np.concatenate(docs_acc)
+        c = np.concatenate(codes_acc)
+        order = np.lexsort((c, d))
+        d, c = d[order], c[order]
+        n = len(d)
+        seg_start = np.empty(n, dtype=bool)
+        seg_start[0] = True
+        np.not_equal(d[1:], d[:-1], out=seg_start[1:])
+        seg_start[1:] |= c[1:] != c[:-1]
+        starts = np.flatnonzero(seg_start)
+        cnts = np.diff(np.r_[starts, n])
+        ud, uc = d[starts], c[starts]
+        # parities once per unique code VALUE in the task
+        vals, inv = np.unique(uc, return_inverse=True)
+        par = ((vals[:, None] * A + B) % P) & 1
+        contrib = (2 * par - 1)[inv] * cnts[:, None]
+        doc_start = np.empty(len(ud), dtype=bool)
+        doc_start[0] = True
+        np.not_equal(ud[1:], ud[:-1], out=doc_start[1:])
+        doc_offs = np.flatnonzero(doc_start)
+        sums = np.add.reduceat(contrib, doc_offs, axis=0)
+        yield pd.DataFrame(
+            {
+                "doc_id": ud[doc_offs],
+                "simhash": ((sums > 0).astype(np.int64) * POWS).sum(
+                    axis=1
+                ),
+            }
+        )
+
+    return src.mapInPandas(
+        sig,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", id_type),
+                T.StructField("simhash", T.LongType()),
+            ]
+        ),
+    )
 
 
 def simhash_pairs(
@@ -584,6 +619,12 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return out.filter(F.col("u") != F.col("v")).distinct()
 
 
+# edge-count bound for connected_components' driver-side fast path:
+# a graph at most this size (≈16 MB of ids) resolves in one collect +
+# union-find; larger graphs run the distributed contraction loop
+CC_COLLECT_EDGES = 1_000_000
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -616,6 +657,61 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     n_edges = e.count()
+    if 0 < n_edges <= CC_COLLECT_EDGES:
+        # small-graph fast path (r7): the contraction loop costs
+        # ~6 shuffles + 2 driver jobs PER ROUND, all latency on a
+        # graph this size. A candidate-pair graph under the constant
+        # bound (≈16 MB of ids) collects once and resolves with a
+        # driver-side union-find — the same min-label-per-component
+        # result by definition. The bound is BY CONSTRUCTION (like
+        # FINE_COLLECT_ROWS): past it the O(log n)-round distributed
+        # loop below runs unchanged, so the 100-TB shape is intact.
+        import numpy as np
+
+        rows = e.collect()
+        us = np.array([r["u"] for r in rows])
+        vs = np.array([r["v"] for r in rows])
+        ids, inv = np.unique(np.concatenate([us, vs]), return_inverse=True)
+        parent = np.arange(len(ids))
+
+        def find(i):
+            root = i
+            while parent[root] != root:
+                root = parent[root]
+            while parent[i] != root:
+                parent[i], i = root, parent[i]
+            return root
+
+        for a, b in zip(inv[: len(us)], inv[len(us):]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by smaller ID so the root is the component min
+                # (ids is sorted, so index order == id order)
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        roots = np.array([find(i) for i in range(len(ids))])
+        comp = nodes.sparkSession.createDataFrame(
+            [(ids[i].item(), ids[roots[i]].item()) for i in range(len(ids))],
+            schema=nodes.select(
+                F.col(id_col).alias("u"),
+                F.col(id_col).alias("cluster_id"),
+            ).schema,
+        )
+        labels = (
+            nodes.select(id_col)
+            .join(
+                F.broadcast(comp.withColumnRenamed("u", id_col)),
+                id_col,
+                "left",
+            )
+            .select(
+                id_col,
+                F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+            )
+        )
+        return labels, 0
     rounds = 0
     converged = n_edges == 0
     for _ in range(max_iters):

@@ -47,6 +47,12 @@ def main():
     if not os.path.exists(qpath):
         datagen.write_parquet(datagen.gen_knn_queries(n=60, seed=42), qpath)
     knn = ops.knn_join(scenes, spark.read.parquet(qpath), level=5)
+    # the bulk-probe branch (r7 union-score kernel), forced by
+    # dropping the broadcast limit below this probe count
+    _saved_limit = ops.KNN_PROBE_BROADCAST_LIMIT
+    ops.KNN_PROBE_BROADCAST_LIMIT = 10
+    knn_bulk = ops.knn_join(scenes, spark.read.parquet(qpath), level=5)
+    ops.KNN_PROBE_BROADCAST_LIMIT = _saved_limit
 
     from mosaic_engine import annops, textops
 
@@ -82,7 +88,12 @@ def main():
             "ONE map-only stage: scan → (pushed) filter → Arrow batch → "
             "numpy kernels (bbox cover, exact polygon∩tile, packed int64 "
             "cell encode). No Exchange anywhere — the tile grid is "
-            "computed, not stored, so the spatial join needs no shuffle.",
+            "computed, not stored, so the spatial join needs no shuffle. "
+            "r7: the kernel emits one row per SCENE with a packed-cell "
+            "ARRAY (passthrough columns cross the Python boundary once, "
+            "as Arrow buffers) and the (scene, cell) pair expansion is "
+            "the JVM codegen Generate below it — boundary rows are "
+            "|scenes|, not |pairs|.",
             formatted(tiles),
         ),
         (
@@ -100,16 +111,30 @@ def main():
             "Scene centroids key to codegen-native web-mercator cells; "
             "the bounded per-cell stats dim rolls up to coarse levels "
             "and the whole coarse-to-fine cascade runs inside ONE "
-            "MapInPandas kernel over the probes (r6): numpy twins of "
-            "the exact rect min/max-distance bounds walk two levels per "
-            "step, derive the per-probe pruning radius R*, and emit "
-            "only surviving (probe, cell) pairs — no shuffle or window "
-            "per cascade level. Survivors equi-join the scenes on the "
-            "cell key (broadcast here; shuffle join past the probe "
-            "limit) and the fused Arrow haversine scorer bounds its "
-            "output at |probes|*k per task. No CartesianProduct, no "
-            "iteration, nothing collected.",
+            "MapInPandas kernel over the probes: numpy bounds (r7: "
+            "evaluated in haversine-argument space over per-cell "
+            "precomputed trig, single-level steps) derive the "
+            "per-probe pruning radius R* and emit only surviving "
+            "(probe, cell) pairs — no shuffle or window per cascade "
+            "level. Survivors equi-join the scenes on the cell key "
+            "(broadcast, DPP-prunable against a stored index) and the "
+            "fused Arrow haversine scorer bounds its output at "
+            "|probes|*k per task. No CartesianProduct, no iteration, "
+            "nothing collected.",
             formatted(knn),
+        ),
+        (
+            "Cell-stats kNN, BULK probe batches (r7 union-score kernel)",
+            "Past KNN_PROBE_BROADCAST_LIMIT there is NO JVM scoring "
+            "join at all: corpus members (one row per scene) and the "
+            "cascade's surviving probe candidates union and hash-"
+            "exchange ONCE on the parent cell, and a MapInArrow kernel "
+            "equi-joins and scores them in numpy — the Python boundary "
+            "carries each input row once instead of the joined blow-up "
+            "(15.5M → 1.7M rows at 100k probes × 1M scenes, the r6 "
+            "lane's dominant cost), and the per-task rank<k combiner "
+            "emits ~k rows per query into the final exact aggregation.",
+            formatted(knn_bulk),
         ),
         (
             "Incremental dedup star-guard stats (per micro-batch)",

@@ -241,3 +241,19 @@ def test_kring_past_packable_range_yields_sentinels():
         9,
     ).reshape(2, off.shape[0])
     assert (ring2 >= 0).all() and (ring2 == want).all()
+
+
+def test_hex_unpack_rejects_kring_sentinels():
+    """(ADVICE r6) hex_kring emits -1 for unpackable ring positions;
+    decoding one would yield well-formed garbage (res 31, huge q/r) —
+    hex_unpack must fail loud instead, like hex_pack does."""
+    import numpy as np
+    import pytest
+
+    from mosaic_engine import hexcells as hx
+
+    with pytest.raises(ValueError, match="negative id"):
+        hx.hex_unpack(np.array([-1], dtype=np.int64))
+    # and through the helpers that decode internally
+    with pytest.raises(ValueError, match="negative id"):
+        hx.hex_center(np.array([5, -1], dtype=np.int64))

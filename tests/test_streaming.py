@@ -1078,3 +1078,21 @@ def test_incremental_dedup_bucketed_state_prunes_scan(spark, tmp_path):
         )
     )
     assert sorted(map(tuple, prev.collect())) == want and len(want) > 0
+
+
+def test_incremental_dedup_refuses_unrecorded_guard_regime(spark, tmp_path):
+    """(ADVICE r6) A work_dir that already holds bands_log batches but
+    no dedup_config record predates the cap bookkeeping — its guard
+    regime is unknown, and stamping the current default would silently
+    mix regimes. It must refuse instead."""
+    import pytest
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    sdir = str(tmp_path / "docs_stream_nr")
+    os.makedirs(sdir)
+    work = str(tmp_path / "dedup_work_nr")
+    datagen.write_parquet(t, os.path.join(sdir, "p1.parquet"))
+    streaming.run_incremental_dedup(spark, sdir, work)
+    os.remove(os.path.join(work, "dedup_config"))
+    with pytest.raises(ValueError, match="dedup_config"):
+        streaming.run_incremental_dedup(spark, sdir, work)

@@ -284,7 +284,10 @@ def test_token_count_bpe_matches_scalar(spark):
             len(t) / max(bpe, 1))
 
 
-def test_dedup_clusters_raises_when_not_converged(spark):
+def test_dedup_clusters_raises_when_not_converged(spark, monkeypatch):
+    # force the distributed loop (the r7 small-graph fast path needs
+    # no rounds and cannot fail to converge)
+    monkeypatch.setattr(textops, "CC_COLLECT_EDGES", 0)
     docs = spark.createDataFrame(
         [Row(doc_id=i, text=f"d{i}", lang="en", source="a", n_chars=2)
          for i in range(64)]
@@ -296,12 +299,16 @@ def test_dedup_clusters_raises_when_not_converged(spark):
         textops.dedup_clusters(docs, pairs=chain, max_iters=1)
 
 
-def test_connected_components_long_chain_log_rounds(spark):
+def test_connected_components_long_chain_log_rounds(spark, monkeypatch):
     """(VERDICT r2 #3) Star contraction must converge in O(log n)
     rounds, not diameter-many: a 512-node path graph (diameter 511 —
     min-label propagation would need ~511 rounds) finishes within
-    ceil(log2 n) + 3 rounds with exactly the right labels."""
+    ceil(log2 n) + 3 rounds with exactly the right labels. The r7
+    small-graph fast path is disabled so the distributed loop itself
+    stays locked."""
     import math
+
+    monkeypatch.setattr(textops, "CC_COLLECT_EDGES", 0)
 
     from pyspark.sql import functions as F
 
@@ -316,9 +323,17 @@ def test_connected_components_long_chain_log_rounds(spark):
     assert got == {i: 0 for i in range(n)}
 
 
-def test_connected_components_mixed_graph_matches_unionfind(spark):
-    """Random multi-component graph vs a scalar union-find oracle."""
+@pytest.mark.parametrize("fast_path", [True, False])
+def test_connected_components_mixed_graph_matches_unionfind(
+    spark, monkeypatch, fast_path
+):
+    """Random multi-component graph vs a scalar union-find oracle —
+    through BOTH the r7 driver-side fast path and the distributed
+    contraction loop (forced by zeroing the fast-path bound)."""
     import random
+
+    if not fast_path:
+        monkeypatch.setattr(textops, "CC_COLLECT_EDGES", 0)
 
     from pyspark.sql import functions as F
 
