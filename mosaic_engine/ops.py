@@ -199,10 +199,19 @@ def assignments(tiles: DataFrame, cfg: MosaicConfig) -> DataFrame:
     salted = keyed.withColumn(
         "salt", F.pmod(F.xxhash64(F.col("sel.image_id")), F.lit(cfg.salt_buckets))
     )
-    part = F.sort_array(F.collect_list("sel"))
     # `is not None`, never truthiness: a (rejected-above) cap of 0 must
-    # not silently flip to "unlimited"
-    part = (F.slice(part, 1, cap) if cap is not None else part).alias("part")
+    # not silently flip to "unlimited". The phase-1 sort only EARNS
+    # its O(n log n) when a cap prunes on it (A6 local top-k); with no
+    # cap the merge phase re-sorts the flattened whole anyway, so
+    # sorting partials too is pure waste over every assignment row
+    # (r7) — the final order (and the goldens) are identical either
+    # way.
+    if cap is not None:
+        part = F.slice(
+            F.sort_array(F.collect_list("sel")), 1, cap
+        ).alias("part")
+    else:
+        part = F.collect_list("sel").alias("part")
     phase1 = salted.groupBy("cell", "salt").agg(part)
     merged = phase1.groupBy("cell").agg(
         F.sort_array(F.flatten(F.collect_list("part"))).alias("sels")
