@@ -97,35 +97,103 @@ def _cosine_score(qa, na, qb, nb) -> Column:
     )
 
 
-TOPK_SALT_BUCKETS = 16
+def _cosine_topk_arrow(cand: DataFrame, k: int) -> DataFrame:
+    """(query_id, vec_id, q, norm2, qq, qn2) candidate rows → exact
+    top-k per query, scored and pre-reduced in ONE Arrow kernel (r7,
+    guide §4.2 — the IVF-assign precedent applied to every cosine
+    path). Catalyst's higher-order functions interpret the 64-element
+    dot per ROW; the kernel does one int64 row-wise multiply-sum per
+    batch — the SAME exact-integer dot (products/sums within the
+    module's 2^53 bound, float64 cast + IEEE sqrt/divide identical to
+    the JVM expression, so scores are bit-identical) — and keeps the
+    per-task rank<k superset under the (−score, vec_id) order (ties
+    retained; ops._rank_keep_mask). That in-kernel reduction replaces
+    the r6 salted phase-1 aggregation: per-task output is ≤
+    queries-in-task × k BY CONSTRUCTION, so the single final exchange
+    carries k-sized partials regardless of candidate fan-out — one
+    aggregation phase instead of two, and no aggregation key ever
+    carries a candidate share at all. A wrong-DIM embedding still
+    fails loud (dimension mismatch), matching dot_long/IVF."""
+    from pyspark.sql import types as T
 
+    from .ops import _rank_keep_mask
 
-def _cosine_topk_tail(scored: DataFrame, k: int) -> DataFrame:
-    """(query_id, vec_id, score) rows → exact top-k per query, salted.
+    src = cand.select("query_id", "vec_id", "q", "norm2", "qq", "qn2")
+    in_f = {f.name: f.dataType for f in src.schema.fields}
 
-    A plain groupBy(query_id).collect_list would funnel a query's ENTIRE
-    candidate set through one aggregation key (partial collect_list still
-    carries every row) — for the brute-force path that key holds the
-    whole corpus. Instead: pre-reduce per (query_id, salt) with slice-k,
-    then merge the ≤ SALT_BUCKETS×k survivors per query (the salted
-    two-phase pattern of the mosaic selection aggregation, ops.py A1).
-    Each salt keeps its own k best under
-    the same total (ns, vec_id) order, so the union of per-salt top-k
-    provably contains the global top-k — results are bit-identical to
-    the unsalted plan, but no aggregation key ever carries more than its
-    1/SALT_BUCKETS candidate share."""
-    sel = F.struct((-F.col("score")).alias("ns"), F.col("vec_id"))
-    part = (
-        scored.withColumn(
-            "salt",
-            F.pmod(F.xxhash64("vec_id"), F.lit(TOPK_SALT_BUCKETS)),
-        )
-        .groupBy("query_id", "salt")
-        .agg(F.slice(F.sort_array(F.collect_list(sel)), 1, k).alias("part"))
+    def kern(batches):
+        import pyarrow as pa
+
+        acc: list = []
+        rows = 0
+        last = 0
+
+        def compact(parts):
+            t = pa.concat_tables(parts)
+            keep = _rank_keep_mask(
+                t.column("query_id").to_numpy(zero_copy_only=False),
+                t.column("ns").to_numpy(zero_copy_only=False),
+                k,
+            )
+            return [t.filter(pa.array(keep))]
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            tbl = pa.Table.from_batches([rb])
+            qo = tbl.column("q").to_numpy(zero_copy_only=False)
+            qqo = tbl.column("qq").to_numpy(zero_copy_only=False)
+            ql = np.fromiter((len(v) for v in qo), np.int64, len(qo))
+            qql = np.fromiter((len(v) for v in qqo), np.int64, len(qqo))
+            if (ql != qql).any():
+                i = int(np.flatnonzero(ql != qql)[0])
+                raise ValueError(
+                    f"cosine topk: embedding dimension mismatch "
+                    f"({ql[i]} vs {qql[i]})"
+                )
+            Q = np.vstack(qo).astype(np.int64)
+            QQ = np.vstack(qqo).astype(np.int64)
+            dots = (Q * QQ).sum(axis=1)
+            n2 = tbl.column("norm2").to_numpy(zero_copy_only=False)
+            qn2 = tbl.column("qn2").to_numpy(zero_copy_only=False)
+            ns = -(
+                dots.astype(np.float64)
+                / (np.sqrt(n2.astype(np.float64))
+                   * np.sqrt(qn2.astype(np.float64)))
+            )
+            acc.append(
+                pa.table(
+                    {
+                        "query_id": tbl.column("query_id"),
+                        "vec_id": tbl.column("vec_id"),
+                        "ns": pa.array(ns, pa.float64()),
+                    }
+                )
+            )
+            rows += rb.num_rows
+            if rows >= max(1_000_000, 2 * last) and len(acc) > 1:
+                acc = compact(acc)
+                last = rows = acc[0].num_rows
+        if acc:
+            yield from compact(acc)[0].to_batches()
+
+    pruned = src.mapInArrow(
+        kern,
+        schema=T.StructType(
+            [
+                T.StructField("query_id", in_f["query_id"]),
+                T.StructField("vec_id", in_f["vec_id"]),
+                T.StructField("ns", T.DoubleType()),
+            ]
+        ),
     )
-    topk = part.groupBy("query_id").agg(
+    topk = pruned.groupBy("query_id").agg(
         F.slice(
-            F.sort_array(F.flatten(F.collect_list("part"))), 1, k
+            F.sort_array(
+                F.collect_list(F.struct(F.col("ns"), F.col("vec_id")))
+            ),
+            1,
+            k,
         ).alias("nn")
     )
     return topk.select(
@@ -155,10 +223,7 @@ def cosine_topk(
     scored = base.crossJoin(F.broadcast(queries)).filter(
         F.col("vec_id") != F.col("query_id")
     )
-    score = _cosine_score(
-        F.col("q"), F.col("norm2"), F.col("qq"), F.col("qn2")
-    ).alias("score")
-    return _cosine_topk_tail(scored.select("query_id", "vec_id", score), k)
+    return _cosine_topk_arrow(scored, k)
 
 
 def lsh_bucket_col(qcol) -> Column:
@@ -223,10 +288,7 @@ def ann_lsh_topk(
     cand = base.join(F.broadcast(queries), "bucket").filter(
         F.col("vec_id") != F.col("query_id")
     )
-    score = _cosine_score(
-        F.col("q"), F.col("norm2"), F.col("qq"), F.col("qn2")
-    ).alias("score")
-    return _cosine_topk_tail(cand.select("query_id", "vec_id", score), k)
+    return _cosine_topk_arrow(cand, k)
 
 
 N_LIST = 16
@@ -587,10 +649,7 @@ def ivf_topk(
     cand = base.join(F.broadcast(probes), "cid").filter(
         F.col("vec_id") != F.col("query_id")
     )
-    score = _cosine_score(
-        F.col("q"), F.col("norm2"), F.col("qq"), F.col("qn2")
-    ).alias("score")
-    return _cosine_topk_tail(cand.select("query_id", "vec_id", score), k)
+    return _cosine_topk_arrow(cand, k)
 
 
 def _ivf_probe_col(cents, qcol: str, n_probe: int) -> Column:

@@ -189,11 +189,16 @@ def test_ngram_jaccard_gram_build_is_candidate_reduced(spark):
     assert "LeftSemi" in plan[gen_at:], plan
 
 
-def test_ann_topk_tail_is_salted(spark):
-    """(VERDICT r4 #1) The ANN top-k tail must never funnel a query's
-    full candidate set through one aggregation key: the plan must
-    pre-reduce per (query_id, salt) before the per-query merge — two
-    hash exchanges, the FIRST keyed on salt as well as query_id."""
+def test_ann_topk_tail_prereduces_in_kernel(spark):
+    """(VERDICT r4 #1, reworked r7) The ANN top-k tail must never
+    funnel a query's full candidate set through one aggregation key.
+    The r6 defense was a salted two-phase aggregation (two exchanges);
+    r7 moved the score + per-task rank<k pre-reduction INTO the Arrow
+    scoring kernel, so the plan must show a MapInArrow scorer feeding
+    exactly ONE per-query aggregation exchange — whose input is ≤
+    queries-in-task × k rows by construction. (The zip_with norm2
+    computation on the scan side legitimately remains; the per-row
+    interpreted dot in the SCORING path is gone.)"""
     from pyspark.sql import Row
 
     from mosaic_engine import annops
@@ -205,16 +210,13 @@ def test_ann_topk_tail_is_salted(spark):
     emb = spark.createDataFrame(rows)
     out = annops.cosine_topk(emb, n_queries=3, k=4)
     plan = _plan(out)
-    assert "salt" in plan, plan
-    # exactly two aggregation exchanges: (query_id, salt) then (query_id)
+    assert "MapInArrow" in plan, plan
     exchanges = [
         seg.split(")")[0]
         for seg in plan.split("Exchange hashpartitioning(")[1:]
     ]
     agg_exchanges = [e for e in exchanges if "query_id" in e]
-    assert len(agg_exchanges) == 2, plan
-    salted = [e for e in agg_exchanges if "salt" in e]
-    assert len(salted) == 1, plan
+    assert len(agg_exchanges) == 1, plan
 
 
 def test_knn_probe_broadcast_flips_at_scale(spark, scenes_df, fixture_dir, monkeypatch):
