@@ -169,8 +169,11 @@ def main():
             "assignment is a map-only projection over the corpus; the "
             "query side (tiny) broadcasts; candidates meet through a "
             "broadcast equi-join on the list id, touching ~n_probe/"
-            "n_list of the corpus; exact integer cosine + sorted-struct "
-            "top-k finishes with map-side partial aggregation.",
+            "n_list of the corpus. r7: the exact-integer cosine scoring "
+            "and the per-task rank<k pre-reduction run in ONE MapInArrow "
+            "kernel (bit-identical scores), so the single per-query "
+            "aggregation exchange receives ≤ queries-in-task × k rows "
+            "by construction — the r6 salted two-phase tail is gone.",
             formatted(ivf),
         ),
     ]
